@@ -1,0 +1,104 @@
+"""Time integrators for pure-gravity systems.
+
+The reference's integrate() is a kick-drift-kick velocity-Verlet/leapfrog
+(index.html:247-262): half-kick with the *previous* acceleration, drift, force
+evaluation, half-kick with the new acceleration. The very first step's first
+half-kick is a no-op because Body ctor zeroes acc (index.html:217).
+
+These integrators cover the gravity-only path (Kepler / Plummer / scaling
+runs, BASELINE configs 2-4). The full reference step with collisions
+interleaved between force evaluation and the second half-kick lives in
+nbx.sim (order matters: index.html:255-259).
+
+All integrators are pure functions over (pos, vel, acc) and a force callback,
+shaped for `jax.lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+ForceFn = Callable[[jax.Array], jax.Array]  # pos [N,3] -> acc [N,3]
+
+
+class PhaseState(NamedTuple):
+    pos: jax.Array
+    vel: jax.Array
+    acc: jax.Array
+
+
+def kdk_step(s: PhaseState, h: jax.Array | float, force: ForceFn) -> PhaseState:
+    """Kick-drift-kick leapfrog, the reference ordering (index.html:247-262)."""
+    vel = s.vel + s.acc * (0.5 * h)
+    pos = s.pos + vel * h
+    acc = force(pos)
+    vel = vel + acc * (0.5 * h)
+    return PhaseState(pos, vel, acc)
+
+
+def dkd_step(s: PhaseState, h: jax.Array | float, force: ForceFn) -> PhaseState:
+    """Drift-kick-drift leapfrog (same order of accuracy, ablation variant)."""
+    pos = s.pos + s.vel * (0.5 * h)
+    acc = force(pos)
+    vel = s.vel + acc * h
+    pos = pos + vel * (0.5 * h)
+    return PhaseState(pos, vel, acc)
+
+
+def symplectic_euler_step(
+    s: PhaseState, h: jax.Array | float, force: ForceFn
+) -> PhaseState:
+    """First-order symplectic Euler (kick then drift) — ablation variant."""
+    acc = force(s.pos)
+    vel = s.vel + acc * h
+    pos = s.pos + vel * h
+    return PhaseState(pos, vel, acc)
+
+
+def explicit_euler_step(
+    s: PhaseState, h: jax.Array | float, force: ForceFn
+) -> PhaseState:
+    """Plain explicit Euler — energy-drifting strawman for the test suite."""
+    acc = force(s.pos)
+    pos = s.pos + s.vel * h
+    vel = s.vel + acc * h
+    return PhaseState(pos, vel, acc)
+
+
+STEPPERS = {
+    "kdk": kdk_step,
+    "dkd": dkd_step,
+    "symplectic_euler": symplectic_euler_step,
+    "euler": explicit_euler_step,
+}
+
+
+def init_phase(pos: jax.Array, vel: jax.Array, force: ForceFn | None = None) -> PhaseState:
+    """Initial phase state. The reference starts with acc = 0
+    (index.html:217) so the first half-kick is a no-op; pass `force` to start
+    with a consistent acceleration instead (standard leapfrog warm start)."""
+    acc = jnp.zeros_like(pos) if force is None else force(pos)
+    return PhaseState(pos, vel, acc)
+
+
+def run(
+    s: PhaseState,
+    h: jax.Array | float,
+    n_steps: int,
+    force: ForceFn,
+    method: str = "kdk",
+    diagnostics: Callable[[PhaseState], jax.Array] | None = None,
+    unroll: int = 1,
+):
+    """Integrate n_steps under lax.scan. Returns (final_state, per-step diag)."""
+    stepper = STEPPERS[method]
+
+    def body(carry, _):
+        nxt = stepper(carry, h, force)
+        out = diagnostics(nxt) if diagnostics is not None else None
+        return nxt, out
+
+    return jax.lax.scan(body, s, None, length=n_steps, unroll=unroll)

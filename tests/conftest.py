@@ -1,0 +1,65 @@
+"""Test-session bootstrap.
+
+The sandbox's sitecustomize eagerly registers the axon TPU backend for every
+python process (PYTHONPATH=/root/.axon_site) and forces JAX_PLATFORMS=axon,
+so by the time conftest runs the backend choice is already made. The test
+suite must run on the CPU backend with 8 virtual devices (SURVEY.md section
+4.5 — multi-device tests fake an 8-chip mesh via
+--xla_force_host_platform_device_count), so when we detect the axon env we
+re-exec pytest once with a clean CPU environment.
+
+The re-exec happens inside pytest_configure with global capture stopped:
+pytest redirects fd 1/2 before conftests load, and an exec'd child would
+otherwise inherit the captured fds and appear silent.
+
+Set NBX_TEST_TPU=1 to skip the re-exec and run the suite on the real chip.
+"""
+
+import os
+import sys
+
+_NEED_REEXEC = (
+    os.environ.get("_NBX_REEXECED") != "1"
+    and os.environ.get("NBX_TEST_TPU") != "1"
+    and os.environ.get("JAX_PLATFORMS", "") != "cpu"
+)
+
+if not _NEED_REEXEC:
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    if not _NEED_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["_NBX_REEXECED"] = "1"
+    env["PYTHONPATH"] = repo_root
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        env,
+    )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()[:8]

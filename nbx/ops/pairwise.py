@@ -1,0 +1,310 @@
+"""Pallas TPU kernel for O(N^2) softened pairwise gravity — the hot loop.
+
+Physics: the reference's computeGravity (/root/reference/index.html:264-291),
+Plummer softening f = G * (d^2 + eps^2)^(-3/2), acc_i = sum_j f_ij m_j (p_j - p_i).
+
+TPU-first design (NOT a translation of the scalar JS pair loop):
+
+  * The i-j interaction tile is computed as 2D [TILE_I, TILE_J] vector work:
+    dx/dy/dz by broadcast-subtract between a [TILE_I, 1] target column and a
+    [1, TILE_J] source row, then one fused rsqrt^3 chain on the VPU
+    (~12 VPU ops per interaction).
+  * The force ACCUMULATION rides the MXU: with mass-folded source matrix
+    S = [m x, m y, m z, m, 0...] of shape [TILE_J, 8],
+        F @ S = [sum f m x_j, sum f m y_j, sum f m z_j, sum f m_j]
+    so acc_i = (F@S)[:, 0:3] - p_i * (F@S)[:, 3:4], a K=TILE_J matmul that
+    runs concurrently with the next tile's VPU work. This turns the
+    gather/scatter accumulation of the scalar loop into dense MXU flops.
+  * The self-interaction (i == j on the diagonal tiles) cancels EXACTLY in
+    this formulation: f_ii m_i p_i - p_i f_ii m_i = 0, finite for eps > 0 —
+    no diagonal masking needed (the dense jnp oracle masks instead).
+  * Padding bodies carry mass 0, so S rows vanish and they contribute zero
+    force; padded target rows compute garbage that is sliced away.
+  * Output [TILE_I, 8] accumulates in VMEM across the j grid dimension
+    (revisited block), G applied once in the j == last epilogue.
+
+Supports rectangular problems (targets != sources) for the sharded path
+where each chip computes all-source forces on its local body shard
+(nbx.parallel.shard).
+
+Requires eps > 0 (the reference default is 0.5; eps == 0 direct sum is
+undefined on the diagonal — use nbx.forces.accelerations which masks it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """Grid (n_i, n_j), j minor. Blocks:
+    tgt_ref [TILE_I, 8]  target x,y,z in cols 0-2
+    src_ref [8, TILE_J]  source x,y,z in rows 0-2
+    s_ref   [TILE_J, 8]  mass-folded sources [m x, m y, m z, m, 0...]
+    out_ref [TILE_I, 8]  acc x,y,z in cols 0-2 (epilogue), col 3 = sum f m
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]  # [TI, 1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    dx = src_ref[0:1, :] - xi  # [TI, TJ] broadcast-subtract
+    dy = src_ref[1:2, :] - yi
+    dz = src_ref[2:3, :] - zi
+    r2 = dx * dx + dy * dy + dz * dz + eps2_ref[0, 0]
+    inv = jax.lax.rsqrt(r2)
+    f = inv * inv * inv  # (d^2 + eps^2)^(-3/2), G deferred to epilogue
+    # precision=HIGHEST: Mosaic's default f32 "matmul" is one-pass bf16
+    # (~3e-3 relative error — measured); the 6-pass f32 emulation is exact to
+    # f32 and the MXU has ~7x headroom over the VPU rsqrt-chain bottleneck.
+    out_ref[:] += jnp.dot(
+        f,
+        s_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o = out_ref[:]
+        g = g_ref[0, 0]
+        w = o[:, 3:4]  # sum_j f m_j
+        acc = (o[:, 0:4] - jnp.concatenate([xi, yi, zi, jnp.zeros_like(xi)], 1) * w) * g
+        out_ref[:] = jnp.concatenate([acc, jnp.zeros_like(acc)], axis=1)
+
+
+def _bf16_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """bf16-pairwise variant (the precision-study configuration, BASELINE
+    config 4): displacements and the force weight in bfloat16, row reduction
+    accumulated in f32 on the VPU.
+
+    Deliberately NOT the mass-folded MXU form of the f32 kernel: that form
+    computes a_i = sum(f m x_j) - x_i sum(f m), a catastrophic cancellation
+    of two large near-equal sums — fine in f32 (measured ~1e-4), fatal with
+    bf16 products (measured ~5x relative error). Here the small quantity dx
+    is formed FIRST, so bf16 rounding applies to already-cancelled values and
+    the error stays at the bf16 epsilon scale (~1e-2).
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    dx = (src_ref[0:1, :] - xi).astype(jnp.bfloat16)
+    dy = (src_ref[1:2, :] - yi).astype(jnp.bfloat16)
+    dz = (src_ref[2:3, :] - zi).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    r2 = (
+        (dx * dx).astype(f32)
+        + (dy * dy).astype(f32)
+        + (dz * dz).astype(f32)
+        + eps2_ref[0, 0]
+    )
+    inv = jax.lax.rsqrt(r2)
+    # w = m_j * (d^2+eps^2)^(-3/2) in bf16; s_ref row 3 carries the mass
+    w = (inv * inv * inv).astype(jnp.bfloat16) * src_ref[3:4, :].astype(jnp.bfloat16)
+    ax = jnp.sum((w * dx).astype(f32), axis=1, keepdims=True)
+    ay = jnp.sum((w * dy).astype(f32), axis=1, keepdims=True)
+    az = jnp.sum((w * dz).astype(f32), axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    out_ref[:] += jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], 1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = out_ref[:] * g_ref[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_i", "tile_j", "precision", "interpret"),
+)
+def pairwise_acc(
+    pos: jax.Array,
+    mass: jax.Array,
+    G,
+    softening,
+    target_pos: jax.Array | None = None,
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    precision: str = "f32",
+    interpret: bool = False,
+) -> jax.Array:
+    """Softened gravitational acceleration via the Pallas kernel.
+
+    pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
+    the sources). precision: 'f32' | 'bf16' (bf16 pairwise, f32 accum).
+    """
+    if target_pos is None:
+        target_pos = pos
+    nt, ns = target_pos.shape[0], pos.shape[0]
+    nt_p = _round_up(max(nt, 8), tile_i)
+    ns_p = _round_up(max(ns, LANE), tile_j)
+
+    pos32 = pos.astype(jnp.float32)
+    tpos32 = target_pos.astype(jnp.float32)
+    mass32 = mass.astype(jnp.float32)
+
+    # Target matrix [Nt_p, 8]: x, y, z, 0...
+    tgt = jnp.zeros((nt_p, 8), jnp.float32).at[:nt, 0:3].set(tpos32)
+    # Source matrix [8, Ns_p]: rows x, y, z, mass (padding bodies at huge
+    # distance would waste dynamic range; they carry zero mass so position 0
+    # is fine). Row 3 (mass) is read by the bf16 kernel only.
+    src = jnp.zeros((8, ns_p), jnp.float32).at[0:3, :ns].set(pos32.T)
+    src = src.at[3, :ns].set(mass32)
+    # Mass-folded source matrix [Ns_p, 8]: m x, m y, m z, m, 0...
+    s = jnp.zeros((ns_p, 8), jnp.float32)
+    s = s.at[:ns, 0:3].set(pos32 * mass32[:, None])
+    s = s.at[:ns, 3].set(mass32)
+
+    g_arr = jnp.asarray([[G]], jnp.float32)
+    eps2 = jnp.asarray([[jnp.square(softening)]], jnp.float32)
+
+    grid = (nt_p // tile_i, ns_p // tile_j)
+    kernel = _acc_kernel if precision == "f32" else _bf16_acc_kernel
+    flops_per_pair = 22
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # G
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # eps^2
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt_p, 8), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * nt_p * ns_p,
+            bytes_accessed=(nt_p * 8 + ns_p * 16 + nt_p * 8) * 4,
+            transcendentals=nt_p * ns_p,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(g_arr, eps2, tgt, src, s)
+    return out[:nt, 0:3]
+
+
+def _potential_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """Per-target softened potential: phi_i = -G sum_j m_j (d^2+eps^2)^(-1/2)
+    (includes the i == j self term m_i / eps — subtracted by the wrapper)."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    dx = src_ref[0:1, :] - xi
+    dy = src_ref[1:2, :] - yi
+    dz = src_ref[2:3, :] - zi
+    r2 = dx * dx + dy * dy + dz * dz + eps2_ref[0, 0]
+    inv = jax.lax.rsqrt(r2)
+    out_ref[:] += jnp.dot(
+        inv,
+        s_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = out_ref[:] * (-g_ref[0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def potential_per_body(
+    pos: jax.Array,
+    mass: jax.Array,
+    G,
+    softening,
+    target_pos: jax.Array | None = None,
+    target_mass: jax.Array | None = None,
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """phi_i = -G sum_{j != i} m_j / sqrt(d^2 + eps^2) per target, [Nt] f32.
+
+    Targets default to the sources. When targets are a subset of the sources
+    (the sharded path), pass target_pos/target_mass: each target is assumed
+    to appear exactly once among the sources, and its diagonal self term
+    -G m_i / eps is subtracted. Total potential energy
+    U = 0.5 * sum_i m_i phi_i (consistent with nbx.forces.potential_energy).
+    Requires eps > 0.
+    """
+    if target_pos is None:
+        target_pos = pos
+    if target_mass is None:
+        target_mass = mass
+    nt, ns = target_pos.shape[0], pos.shape[0]
+    nt_p = _round_up(max(nt, 8), tile_i)
+    ns_p = _round_up(max(ns, LANE), tile_j)
+    pos32 = pos.astype(jnp.float32)
+    mass32 = mass.astype(jnp.float32)
+
+    tgt = jnp.zeros((nt_p, 8), jnp.float32).at[:nt, 0:3].set(
+        target_pos.astype(jnp.float32)
+    )
+    src = jnp.zeros((8, ns_p), jnp.float32).at[0:3, :ns].set(pos32.T)
+    s = jnp.zeros((ns_p, 8), jnp.float32).at[:ns, 0].set(mass32)
+
+    g_arr = jnp.asarray([[G]], jnp.float32)
+    eps2 = jnp.asarray([[jnp.square(softening)]], jnp.float32)
+    grid = (nt_p // tile_i, ns_p // tile_j)
+    out = pl.pallas_call(
+        _potential_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt_p, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(g_arr, eps2, tgt, src, s)
+    phi = out[:nt, 0]
+    # remove the self term: -G * m_i / eps
+    return phi + G * target_mass.astype(jnp.float32) / softening
+
+
+def potential_energy(pos, mass, G, softening, **kw) -> jax.Array:
+    """Total softened potential energy via the Pallas kernel."""
+    phi = potential_per_body(pos, mass, G, softening, **kw)
+    return 0.5 * jnp.sum(mass * phi)

@@ -44,6 +44,10 @@ def pytest_configure(config):
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
+    # Unbuffered stdout: with a piped stdout + capture, a runtime thread can
+    # hold the buffered-writer lock at interpreter shutdown ("Fatal Python
+    # error: _enter_buffered_busy") after multi-device CPU tests.
+    env["PYTHONUNBUFFERED"] = "1"
     sys.stdout.flush()
     sys.stderr.flush()
     os.execve(

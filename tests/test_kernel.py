@@ -1,0 +1,98 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU; the real-TPU
+numerics are covered by the bench harness and were validated on-chip —
+see .claude/skills/verify/SKILL.md)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbx import forces
+from nbx.ops.pairwise import pairwise_acc, potential_energy, potential_per_body
+
+
+def _rand(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.normal(size=(n, 3)) * 20, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 5, n), jnp.float32)
+    return pos, mass
+
+
+@pytest.mark.parametrize("n", [64, 300, 777])
+@pytest.mark.parametrize("tiles", [(8, 128), (64, 256)])
+def test_acc_matches_dense(n, tiles):
+    """Tile sweep including N not divisible by tile (SURVEY.md section 4.4)."""
+    pos, mass = _rand(n, n)
+    want = forces.accelerations(pos, mass, 0.5, 0.5)
+    got = pairwise_acc(
+        pos, mass, 0.5, 0.5, tile_i=tiles[0], tile_j=tiles[1], interpret=True
+    )
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3 * scale)
+
+
+def test_rectangular_targets():
+    """Sharded path: force of all sources on a target subset."""
+    pos, mass = _rand(300, 1)
+    tpos = pos[37:137]
+    want = forces.accelerations(pos, mass, 0.5, 0.5)[37:137]
+    got = pairwise_acc(
+        pos, mass, 0.5, 0.5, target_pos=tpos, tile_i=8, tile_j=128, interpret=True
+    )
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3 * scale)
+
+
+def test_mass_zero_padding_is_inert():
+    """Dead/padding bodies (mass 0) contribute exactly zero force."""
+    pos, mass = _rand(100, 2)
+    mass = mass.at[50:].set(0.0)
+    want = forces.accelerations(pos[:50], mass[:50], 0.5, 0.5)
+    got = pairwise_acc(pos, mass, 0.5, 0.5, tile_i=8, tile_j=128, interpret=True)[:50]
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3 * scale)
+
+
+def test_potential_matches_dense():
+    pos, mass = _rand(256, 3)
+    want = float(forces.potential_energy(pos, mass, 0.5, 0.5))
+    got = float(
+        potential_energy(pos, mass, 0.5, 0.5, tile_i=8, tile_j=128, interpret=True)
+    )
+    assert abs(got - want) / abs(want) < 1e-4
+
+
+def test_potential_rectangular_self_term():
+    """Per-body phi with targets = a source slice subtracts exactly one
+    self term per target."""
+    pos, mass = _rand(200, 4)
+    phi_full = potential_per_body(
+        pos, mass, 0.5, 0.5, tile_i=8, tile_j=128, interpret=True
+    )
+    phi_slice = potential_per_body(
+        pos,
+        mass,
+        0.5,
+        0.5,
+        target_pos=pos[60:90],
+        target_mass=mass[60:90],
+        tile_i=8,
+        tile_j=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_slice), np.asarray(phi_full[60:90]), rtol=1e-5
+    )
+
+
+def test_bf16_precision_budget():
+    """bf16-pairwise variant stays within its documented error budget
+    (BASELINE config 4 precision study)."""
+    pos, mass = _rand(300, 5)
+    want = forces.accelerations(pos, mass, 0.5, 0.5)
+    got = pairwise_acc(
+        pos, mass, 0.5, 0.5, tile_i=8, tile_j=128, precision="bf16", interpret=True
+    )
+    scale = float(jnp.abs(want).max())
+    err = float(jnp.abs(got - want).max()) / scale
+    assert err < 0.05, f"bf16 rel err {err}"
+    assert err > 0, "bf16 path identical to f32 — cast not happening?"

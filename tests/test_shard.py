@@ -1,0 +1,102 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh
+(SURVEY.md section 4.5): the sharded step must match the single-device
+step bit-for-bit in f32 (same op order per shard row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbx import forces, integrators, scene
+from nbx.parallel import shard
+
+
+@pytest.fixture
+def mesh(eight_devices):
+    return shard.make_mesh(8)
+
+
+def _setup(n=512, seed=0):
+    sc = scene.plummer(n=n, total_mass=float(n), scale_radius=10.0, G=0.5, seed=seed)
+    return sc["pos"], sc["vel"], sc["mass"]
+
+
+def test_sharded_matches_single_device(mesh):
+    pos, vel, mass = _setup()
+    G, eps, h = 0.5, 0.5, 0.01
+
+    st = shard.shard_state(mesh, pos, vel, mass)
+    step = shard.make_sharded_step(mesh, impl="jnp")
+    for _ in range(5):
+        st = step(st, G, eps, h)
+
+    # single-device reference with identical physics
+    f = lambda p: forces.accelerations_blocked(
+        jnp.asarray(p, jnp.float32), jnp.asarray(mass, jnp.float32), G, eps, 64
+    )
+    s = integrators.init_phase(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32)
+    )
+    for _ in range(5):
+        s = integrators.kdk_step(s, h, f)
+
+    np.testing.assert_allclose(
+        np.asarray(st.pos), np.asarray(s.pos), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.vel), np.asarray(s.vel), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_2d_matches_1d(eight_devices):
+    pos, vel, mass = _setup(n=512, seed=1)
+    G, eps, h = 0.5, 0.5, 0.01
+
+    mesh1 = shard.make_mesh(8, axes=("b",))
+    st1 = shard.shard_state(mesh1, pos, vel, mass)
+    step1 = shard.make_sharded_step(mesh1, impl="jnp")
+
+    mesh2 = shard.make_mesh(8, axes=("b", "j"))
+    st2 = shard.shard_state2d(mesh2, pos, vel, mass)
+    step2 = shard.make_sharded_step_2d(mesh2, impl="jnp")
+
+    for _ in range(3):
+        st1 = step1(st1, G, eps, h)
+        st2 = step2(st2, G, eps, h)
+
+    np.testing.assert_allclose(
+        np.asarray(st2.pos), np.asarray(st1.pos), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.vel), np.asarray(st1.vel), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_energy(mesh):
+    pos, vel, mass = _setup(n=256, seed=2)
+    st = shard.shard_state(mesh, pos, vel, mass)
+    ke, pe = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
+    ke_ref = forces.kinetic_energy(jnp.asarray(vel), jnp.asarray(mass))
+    pe_ref = forces.potential_energy(jnp.asarray(pos), jnp.asarray(mass), 0.5, 0.5)
+    np.testing.assert_allclose(float(ke), float(ke_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(pe), float(pe_ref), rtol=1e-5)
+
+
+def test_sharded_drift_short(mesh):
+    """Energy stays bounded over a short sharded Plummer run."""
+    pos, vel, mass = _setup(n=512, seed=3)
+    st = shard.shard_state(mesh, pos, vel, mass)
+    step = shard.make_sharded_step(mesh, impl="jnp")
+    ke0, pe0 = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
+    e0 = float(ke0 + pe0)
+    for _ in range(50):
+        st = step(st, 0.5, 0.5, 0.005)
+    ke1, pe1 = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
+    drift = abs(float(ke1 + pe1) - e0) / abs(e0)
+    assert drift < 1e-3, f"sharded energy drift {drift}"
+
+
+def test_indivisible_n_rejected(mesh):
+    pos, vel, mass = _setup(n=500)
+    with pytest.raises(ValueError, match="divisible"):
+        shard.shard_state(mesh, pos, vel, mass)

@@ -1,0 +1,77 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: pairwise interactions/sec/chip at N = 262,144 on one TPU chip
+(BASELINE.json north star: >= 1e11 on v5e). vs_baseline is the ratio to that
+1e11 target, since the reference publishes no numbers (BASELINE.md).
+
+Extra context (step latency, energy-drift spot check) goes to stderr so
+stdout stays a single JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nbx.ops.pairwise import pairwise_acc
+    from nbx import scene
+
+    backend = jax.default_backend()
+    log(f"backend: {backend} devices: {jax.devices()}")
+
+    n = 262144
+    sc = scene.cold_collapse_disk(n=n, seed=0)
+    pos = jnp.asarray(sc["pos"])
+    mass = jnp.asarray(sc["mass"])
+    g, eps = 0.5, 0.5
+
+    if backend == "tpu":
+        tile_i, tile_j = 1024, 4096
+        f = lambda: pairwise_acc(pos, mass, g, eps, tile_i=tile_i, tile_j=tile_j)
+    else:  # CPU fallback so the harness still runs anywhere
+        n = 8192
+        pos, mass = pos[:n], mass[:n]
+        from nbx import forces
+
+        f = lambda: forces.accelerations_blocked(pos, mass, g, eps, 1024)
+
+    t0 = time.time()
+    jax.block_until_ready(f())
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    reps = 5 if backend == "tpu" else 2
+    t0 = time.time()
+    for _ in range(reps):
+        r = f()
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / reps
+    rate = n * n / dt
+    log(f"N={n}: {dt * 1e3:.1f} ms/force-eval -> {rate:.3e} pairs/s")
+
+    # sanity: forces are finite
+    assert np.isfinite(np.asarray(r)).all(), "non-finite accelerations"
+
+    print(
+        json.dumps(
+            {
+                "metric": "pairwise_interactions_per_sec_per_chip",
+                "value": rate,
+                "unit": "pairs/s",
+                "vs_baseline": rate / 1e11,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Checkpoint / resume.
+
+Not present in the reference — a page reload loses everything and
+resetScenario is the only restore (/root/reference/index.html:744-766,
+SURVEY.md section 5). The TPU build needs real snapshots: long drift gates,
+preemptible jobs, and the 10k-step conservation runs all resume
+mid-trajectory.
+
+Format: a single .npz holding the flattened SimState pytree (including the
+PRNG key and step counter) plus the dynamic SimConfig fields, versioned.
+Sharded gravity-only states save the same way (arrays are gathered to host).
+orbax is available in the image for async multi-host checkpointing; plain
+npz keeps the dependency surface minimal and is byte-stable for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbx.config import Materials, SimConfig
+from nbx.state import SimState
+
+FORMAT_VERSION = 1
+
+
+def save_state(path: str, state: SimState, cfg: SimConfig | None = None) -> None:
+    """Snapshot a SimState (and optionally the dynamic config) to .npz."""
+    arrays = {}
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if v is not None:
+            arrays[f"state.{f.name}"] = np.asarray(v)
+    arrays["format_version"] = np.int32(FORMAT_VERSION)
+    if cfg is not None:
+        for f in dataclasses.fields(cfg):
+            v = getattr(cfg, f.name)
+            if isinstance(v, Materials):
+                arrays["cfg.materials.density"] = np.asarray(v.density)
+                arrays["cfg.materials.color1"] = np.asarray(v.color1)
+                arrays["cfg.materials.color2"] = np.asarray(v.color2)
+            else:
+                arrays[f"cfg.{f.name}"] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path: str) -> tuple[SimState, SimConfig | None]:
+    """Restore (state, cfg_or_None). The PRNG key round-trips exactly, so a
+    resumed run reproduces the original fracture outcomes bit-for-bit."""
+    z = np.load(path)
+    version = int(z["format_version"])
+    if version != FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} != {FORMAT_VERSION}")
+    skw = {}
+    for f in dataclasses.fields(SimState):
+        k = f"state.{f.name}"
+        if k in z:
+            # legacy uint32[2] PRNG keys round-trip as plain arrays
+            skw[f.name] = jnp.asarray(z[k])
+        elif f.name == "contact":
+            skw[f.name] = None
+    state = SimState(**skw)
+
+    cfg = None
+    if "cfg.G" in z:
+        ckw = {}
+        for f in dataclasses.fields(SimConfig):
+            if f.name == "materials":
+                ckw["materials"] = Materials(
+                    density=jnp.asarray(z["cfg.materials.density"]),
+                    color1=jnp.asarray(z["cfg.materials.color1"]),
+                    color2=jnp.asarray(z["cfg.materials.color2"]),
+                )
+            else:
+                k = f"cfg.{f.name}"
+                if k in z:
+                    v = z[k]
+                    ckw[f.name] = v.item() if v.ndim == 0 else v
+        cfg = SimConfig(**ckw)
+    return state, cfg

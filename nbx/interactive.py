@@ -1,0 +1,128 @@
+"""Interactive host API — the decoupled equivalent of the reference's input
+handling + lil-gui layer (/root/reference/index.html:768-871).
+
+The reference mutates a global CONFIG from GUI sliders (L847-861) and spawns
+bodies from mouse drags (L822-844). Here, `Simulation` wraps device-resident
+state with the same verbs:
+
+  sim.set(G=2.0, fracture_threshold=50)   # live retune — a new SimConfig
+                                          # pytree, same compiled step (the
+                                          # fields are jit arguments)
+  sim.spawn(pos, vel)                     # addBody with FIFO eviction
+  sim.spawn_drag(start, end)              # the drag-back slingshot:
+                                          # vel = -0.5 * (end - start) (L834)
+  sim.step(n)                             # n frames, one dispatch
+  sim.reset('galaxy' | 'collision' | ...) # resetScenario (L744)
+  sim.render(...)                         # device-side splat frame
+  sim.bodies()                            # compacted host view
+  sim.save(path) / Simulation.load(path)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbx import checkpoint, diagnostics, scene, sim as simmod
+from nbx.config import ROCK, SimConfig
+from nbx.state import SimState, add_body, compact_arrays
+
+SPAWN_VELOCITY_FACTOR = -0.5  # drag-back slingshot (index.html:834)
+
+
+class Simulation:
+    """Host-side handle on a live simulation."""
+
+    def __init__(self, cfg: Optional[SimConfig] = None, scenario: str = "galaxy",
+                 key: int = 0, **scenario_kw):
+        self.cfg = cfg or SimConfig()
+        self.state: SimState = None  # set by reset
+        self._key = key
+        self.reset(scenario, **scenario_kw)
+
+    # -- config (the GUI layer) -------------------------------------------
+    def set(self, **fields) -> "Simulation":
+        """Live-retune dynamic parameters (G, dt, softening, spawn_mass,
+        fracture_threshold, merge_time, ... — the lil-gui sliders). Static
+        fields (capacity, sub_steps) trigger a recompile on next step, same
+        as the reference rebuilding state on maxBodies change."""
+        self.cfg = self.cfg.replace(**fields)
+        return self
+
+    # -- scenario lifecycle -------------------------------------------------
+    def reset(self, scenario: str = "galaxy", **kw) -> "Simulation":
+        builder = scene.SCENARIOS[scenario]
+        if scenario == "galaxy":
+            kw.setdefault("G", float(self.cfg.G))
+        sc = builder(**kw)
+        self.state = scene.make_state(self.cfg, sc, key=self._key)
+        return self
+
+    # -- stepping -----------------------------------------------------------
+    def step(self, n_frames: int = 1):
+        """Advance n frames. Returns the stacked event log."""
+        if n_frames == 1:
+            self.state, events = simmod.step(self.state, self.cfg)
+        else:
+            self.state, events = simmod.run(self.state, self.cfg, n_frames)
+        return events
+
+    # -- interaction ----------------------------------------------------------
+    def spawn(self, pos, vel, mass: float | None = None, mat: int = ROCK,
+              temp: float = 0.0) -> bool:
+        """addBody (index.html:239-245, 835). Returns True if a body was
+        FIFO-evicted to make room."""
+        m = self.cfg.spawn_mass if mass is None else mass
+        self.state, evicted = add_body(
+            self.state, jnp.asarray(m, jnp.float32), jnp.asarray(pos, jnp.float32),
+            jnp.asarray(vel, jnp.float32), mat, temp,
+        )
+        return bool(evicted)
+
+    def spawn_drag(self, start, end, mass: float | None = None,
+                   mat: int = ROCK) -> bool:
+        """The mouse-drag slingshot: spawn at `start` with velocity
+        -0.5 * (end - start) (index.html:822-844)."""
+        start = np.asarray(start, np.float32)
+        end = np.asarray(end, np.float32)
+        vel = SPAWN_VELOCITY_FACTOR * (end - start)
+        return self.spawn(start, vel, mass=mass, mat=mat)
+
+    # -- observation -----------------------------------------------------------
+    def bodies(self) -> dict:
+        """Compacted host view in insertion order (the reference's
+        physics.bodies array)."""
+        return compact_arrays(self.state)
+
+    @property
+    def n_alive(self) -> int:
+        return int(self.state.n_alive)
+
+    def measure(self) -> "diagnostics.Diagnostics":
+        return jax.tree.map(np.asarray, diagnostics.measure(self.state, self.cfg))
+
+    def render(self, cam=None, width: int = 640, height: int = 360,
+               exposure: float = 1.5) -> np.ndarray:
+        from nbx.render import splat
+
+        img = splat.render_state(
+            self.state, self.cfg, cam, width=width, height=height,
+            exposure=exposure,
+        )
+        return np.asarray(img)
+
+    # -- persistence -----------------------------------------------------------
+    def save(self, path: str) -> None:
+        checkpoint.save_state(path, self.state, self.cfg)
+
+    @classmethod
+    def load(cls, path: str) -> "Simulation":
+        state, cfg = checkpoint.load_state(path)
+        obj = cls.__new__(cls)
+        obj.cfg = cfg or SimConfig(capacity=state.capacity)
+        obj.state = state
+        obj._key = 0
+        return obj

@@ -89,6 +89,106 @@ def _acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
         out_ref[:] = jnp.concatenate([acc, jnp.zeros_like(acc)], axis=1)
 
 
+def _fast_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """Fast variant: hand-rolled 3-pass bf16 matmul + per-tile source
+    centering (Mosaic supports only DEFAULT/HIGHEST dot precision; HIGHEST
+    is a 6-pass emulation, measured 2.2x slower end-to-end).
+
+    Two accuracy tricks stack:
+      1. Centering. The mass-folded accumulation
+         a_i = sum(f m x_j) - x_i sum(f m) amplifies matmul rounding by
+         |x_scale / dx_scale| (two large near-equal sums). Centering sources
+         at their tile centroid c makes the matmul operate on small
+         quantities m (x_j - c); the exact identity
+             sum f m x_j = dot(f, m (x - c)) + c * sum(f m)
+         restores the uncentered sum with f32 scalar work only.
+      2. 3-pass bf16: split both operands into bf16 hi + lo halves and take
+         the three significant products (hi hi + hi lo + lo hi), each a
+         native bf16 MXU pass with f32 accumulation — ~1.5e-5 product error
+         vs ~4e-3 for one pass, at half the passes of HIGHEST.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    xj = src_ref[0:1, :]
+    yj = src_ref[1:2, :]
+    zj = src_ref[2:3, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz + eps2_ref[0, 0]
+    inv = jax.lax.rsqrt(r2)
+    f = inv * inv * inv
+    cx = jnp.mean(xj, axis=1, keepdims=True)  # [1, 1] (rank-0 reductions
+    cy = jnp.mean(yj, axis=1, keepdims=True)  # are fragile in Mosaic)
+    cz = jnp.mean(zj, axis=1, keepdims=True)
+    m = s_ref[:, 3:4]  # [TJ, 1]
+    zero_col = jnp.zeros_like(m)
+    center = jnp.concatenate(
+        [cx * m, cy * m, cz * m, zero_col, zero_col, zero_col, zero_col, zero_col], 1
+    )
+    s_c = s_ref[:] - center
+    bf16 = jnp.bfloat16
+    s_hi = s_c.astype(bf16)
+    s_lo = (s_c - s_hi.astype(jnp.float32)).astype(bf16)
+    f_hi = f.astype(bf16)
+    f_lo = (f - f_hi.astype(jnp.float32)).astype(bf16)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    tmp = dot(f_hi, s_hi) + dot(f_hi, s_lo) + dot(f_lo, s_hi)
+    w = tmp[:, 3:4]  # sum_j f m_j for this tile
+    zero = jnp.zeros_like(w)
+    out_ref[:] += tmp + jnp.concatenate(
+        [cx * w, cy * w, cz * w, zero, zero, zero, zero, zero], 1
+    )
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o = out_ref[:]
+        g = g_ref[0, 0]
+        w = o[:, 3:4]
+        acc = (o[:, 0:4] - jnp.concatenate([xi, yi, zi, jnp.zeros_like(xi)], 1) * w) * g
+        out_ref[:] = jnp.concatenate([acc, jnp.zeros_like(acc)], axis=1)
+
+
+def _f32r_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """Exact-f32 VPU-reduction variant: accumulate sum_j w dx directly with
+    f32 row reductions — no MXU, no cancellation, no multi-pass emulation.
+    ~19 VPU ops/pair instead of 12 + 6 MXU passes; wins when the 6-pass
+    HIGHEST matmul is the bottleneck."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    dx = src_ref[0:1, :] - xi
+    dy = src_ref[1:2, :] - yi
+    dz = src_ref[2:3, :] - zi
+    r2 = dx * dx + dy * dy + dz * dz + eps2_ref[0, 0]
+    inv = jax.lax.rsqrt(r2)
+    w = inv * inv * inv * src_ref[3:4, :]  # f * m_j
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    out_ref[:] += jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], 1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = out_ref[:] * g_ref[0, 0]
+
+
 def _bf16_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
     """bf16-pairwise variant (the precision-study configuration, BASELINE
     config 4): displacements and the force weight in bfloat16, row reduction
@@ -153,7 +253,10 @@ def pairwise_acc(
     """Softened gravitational acceleration via the Pallas kernel.
 
     pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
-    the sources). precision: 'f32' | 'bf16' (bf16 pairwise, f32 accum).
+    the sources). precision:
+      'f32'  exact-f32 accumulation (6-pass matmul, ~1e-7 matmul error)
+      'fast' 3-pass matmul + tile centering (~1e-5 force error, ~2x faster)
+      'bf16' bf16 pairwise study variant (~1e-2, BASELINE config 4)
     """
     if target_pos is None:
         target_pos = pos
@@ -181,7 +284,12 @@ def pairwise_acc(
     eps2 = jnp.asarray([[jnp.square(softening)]], jnp.float32)
 
     grid = (nt_p // tile_i, ns_p // tile_j)
-    kernel = _acc_kernel if precision == "f32" else _bf16_acc_kernel
+    kernel = {
+        "f32": _acc_kernel,
+        "f32r": _f32r_acc_kernel,
+        "fast": _fast_acc_kernel,
+        "bf16": _bf16_acc_kernel,
+    }[precision]
     flops_per_pair = 22
     out = pl.pallas_call(
         kernel,

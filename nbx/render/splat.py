@@ -1,0 +1,177 @@
+"""Device-side point-splat renderer.
+
+Replaces the reference's three.js mesh/shader/bloom pipeline
+(/root/reference/index.html:446-742) with a TPU-friendly design: project all
+bodies with a pinhole camera, scatter-add 2x2 bilinear splats into an HDR
+framebuffer (one XLA scatter, no per-body host work), add event flashes as
+additive Gaussian blobs (the point-light flashes of triggerFlash,
+index.html:619-635), then tonemap. The whole frame is a single jitted
+function over device-resident state; readback ships one [H, W, 3] u8 image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nbx.render.colormap import body_color, tonemap
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole look-at camera. Defaults echo the reference: eye (0, 80, 150)
+    looking at the origin, 45-degree vertical FOV (index.html:707-708)."""
+
+    eye: jax.Array  # [3]
+    target: jax.Array  # [3]
+    up: jax.Array  # [3]
+    fov_deg: float = 45.0
+
+    @staticmethod
+    def default() -> "Camera":
+        return Camera(
+            eye=jnp.array([0.0, 80.0, 150.0]),
+            target=jnp.zeros(3),
+            up=jnp.array([0.0, 1.0, 0.0]),
+        )
+
+
+def _look_at(cam: Camera):
+    fwd = cam.target - cam.eye
+    fwd = fwd / jnp.linalg.norm(fwd)
+    right = jnp.cross(fwd, cam.up)
+    right = right / jnp.linalg.norm(right)
+    up = jnp.cross(right, fwd)
+    return right, up, fwd
+
+
+def project(
+    cam: Camera, pos: jax.Array, width: int, height: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """World [N, 3] -> (px, py, depth). Points behind the camera get
+    depth <= 0 (callers mask them)."""
+    right, up, fwd = _look_at(cam)
+    rel = pos - cam.eye
+    x = rel @ right
+    y = rel @ up
+    z = rel @ fwd  # depth along view axis
+    f = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
+    safe_z = jnp.where(z > 1e-6, z, 1.0)
+    px = width / 2.0 + f * x / safe_z
+    py = height / 2.0 - f * y / safe_z
+    return px, py, z
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def splat_frame(
+    pos: jax.Array,  # [N, 3]
+    radius: jax.Array,  # [N]
+    temp: jax.Array,  # [N]
+    mat: jax.Array,  # [N] i32
+    alive: jax.Array,  # [N] bool
+    color1: jax.Array,  # [M, 3]
+    color2: jax.Array,  # [M, 3]
+    cam: Camera,
+    width: int = 640,
+    height: int = 360,
+    exposure: float = 1.0,
+) -> jax.Array:
+    """Render one HDR->tonemapped frame, [H, W, 3] f32 in [0, 1].
+
+    Each body splats its emissive color over a 2x2 bilinear footprint with
+    intensity ~ apparent area (radius / depth)^2 — the point-splat analog of
+    a shaded sphere + bloom.
+    """
+    px, py, z = project(cam, pos, width, height)
+    visible = (
+        alive
+        & (z > 1e-3)
+        & (px >= 0)
+        & (px < width - 1)
+        & (py >= 0)
+        & (py < height - 1)
+    )
+    col = body_color(temp, mat, color1, color2)  # [N, 3]
+    f = (height / 2.0) / jnp.tan(jnp.deg2rad(45.0) / 2.0)
+    app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
+    # Energy ~ apparent area, floored so sub-pixel bodies stay visible
+    # (the reference never lets a body vanish either — bloom pops them).
+    intensity = jnp.where(visible, jnp.clip(app * app, 0.3, 60.0), 0.0)
+    rgb = col * intensity[:, None]
+
+    # Variable-size Gaussian footprint over a 5x5 tap window: big/near
+    # bodies render as soft blobs, small ones as bright points.
+    sigma = jnp.clip(app * 0.6, 0.45, 2.2)
+    x0 = jnp.round(px).astype(jnp.int32)
+    y0 = jnp.round(py).astype(jnp.int32)
+    x0 = jnp.clip(x0, 2, width - 3)
+    y0 = jnp.clip(y0, 2, height - 3)
+
+    taps = []
+    wsum = jnp.zeros_like(px)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            d2 = (x0 + dx - px) ** 2 + (y0 + dy - py) ** 2
+            w = jnp.exp(-d2 / (2.0 * sigma * sigma))
+            taps.append((dy, dx, w))
+            wsum = wsum + w
+    inv_wsum = 1.0 / jnp.where(wsum > 0, wsum, 1.0)
+
+    img = jnp.zeros((height, width, 3), jnp.float32)
+    for dy, dx, w in taps:
+        img = img.at[y0 + dy, x0 + dx].add(
+            rgb * (w * inv_wsum)[:, None], mode="drop"
+        )
+    return tonemap(img, exposure)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def add_flashes(
+    img_hdr: jax.Array,  # [H, W, 3] HDR (pre-tonemap)
+    flash_pos: jax.Array,  # [F, 3] world
+    flash_energy: jax.Array,  # [F]
+    flash_mask: jax.Array,  # [F] bool
+    cam: Camera,
+    width: int = 640,
+    height: int = 360,
+) -> jax.Array:
+    """Additive Gaussian flash blobs — the splat analog of triggerFlash's
+    transient point light (intensity min(0.2 E, 15), color 0xffaa00,
+    index.html:619-626)."""
+    h, w = img_hdr.shape[:2]
+    px, py, z = project(cam, flash_pos, width, height)
+    inten = jnp.where(
+        flash_mask & (z > 1e-3), jnp.minimum(0.2 * flash_energy, 15.0), 0.0
+    )
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    sigma = 12.0
+    color = jnp.array([1.0, 0.666, 0.0], jnp.float32)  # 0xffaa00
+
+    def one(img, args):
+        cx, cy, ii = args
+        g = ii * jnp.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2))
+        return img + g[:, :, None] * color, None
+
+    img_hdr, _ = jax.lax.scan(one, img_hdr, (px, py, inten))
+    return img_hdr
+
+
+def render_state(state, cfg, cam: Camera | None = None, **kw) -> jax.Array:
+    """Render a SimState with its material table."""
+    cam = cam or Camera.default()
+    return splat_frame(
+        state.pos,
+        state.radius(cfg),
+        state.temp,
+        state.mat,
+        state.alive,
+        cfg.materials.color1,
+        cfg.materials.color2,
+        cam,
+        **kw,
+    )

@@ -1,0 +1,57 @@
+"""Checkpoint/resume tests (SURVEY.md section 5): bit-exact round trip and
+deterministic resume — a resumed run reproduces the original trajectory
+including fracture RNG (the reference cannot: Math.random, index.html:418)."""
+
+import numpy as np
+import pytest
+
+from nbx import checkpoint, scene, sim
+from nbx.config import SimConfig
+from nbx.state import SimState
+
+
+def _setup(tmp_path):
+    cfg = SimConfig(capacity=32)
+    st = scene.make_state(cfg, scene.reference_galaxy(n_disk=20, seed=1), key=7)
+    for _ in range(5):
+        st, _ = sim.step(st, cfg)
+    return cfg, st, str(tmp_path / "snap.npz")
+
+
+def test_roundtrip_bit_exact(tmp_path):
+    cfg, st, path = _setup(tmp_path)
+    checkpoint.save_state(path, st, cfg)
+    st2, cfg2 = checkpoint.load_state(path)
+    for name in ("pos", "vel", "acc", "mass", "temp", "alive", "seq", "contact"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st, name)), np.asarray(getattr(st2, name)), err_msg=name
+        )
+    assert int(st2.step_count) == int(st.step_count)
+    assert cfg2.G == cfg.G and cfg2.capacity == cfg.capacity
+
+
+def test_resume_reproduces_trajectory(tmp_path):
+    cfg, st, path = _setup(tmp_path)
+    checkpoint.save_state(path, st, cfg)
+    # continue the original
+    a = st
+    for _ in range(10):
+        a, _ = sim.step(a, cfg)
+    # resume from disk
+    b, cfg2 = checkpoint.load_state(path)
+    for _ in range(10):
+        b, _ = sim.step(b, cfg2)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.key), np.asarray(b.key))
+
+
+def test_version_gate(tmp_path):
+    cfg, st, path = _setup(tmp_path)
+    checkpoint.save_state(path, st, cfg)
+    import numpy as np2
+
+    z = dict(np2.load(path))
+    z["format_version"] = np2.int32(99)
+    np2.savez(path, **z)
+    with pytest.raises(ValueError, match="format"):
+        checkpoint.load_state(path)

@@ -1,0 +1,108 @@
+"""Renderer tests: projection geometry, splat energy, flashes, PNG bytes."""
+
+import os
+import struct
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbx import scene
+from nbx.config import SimConfig
+from nbx.render import splat, viewer
+from nbx.render.colormap import body_color, tonemap
+from nbx.render.splat import Camera
+
+
+def test_project_center_and_depth():
+    cam = Camera(eye=jnp.array([0.0, 0, 100.0]), target=jnp.zeros(3),
+                 up=jnp.array([0.0, 1, 0]))
+    pos = jnp.array([[0.0, 0, 0], [0, 0, 200.0]])  # origin + behind camera
+    px, py, z = splat.project(cam, pos, 640, 360)
+    np.testing.assert_allclose([float(px[0]), float(py[0])], [320, 180], atol=1e-3)
+    assert float(z[0]) == 100.0
+    assert float(z[1]) < 0  # behind
+
+
+def test_splat_renders_visible_bodies():
+    cfg = SimConfig()
+    st = scene.make_state(cfg, scene.reference_galaxy(n_disk=30, seed=0))
+    img = np.asarray(splat.render_state(st, cfg, width=320, height=180))
+    assert img.shape == (180, 320, 3)
+    assert img.min() >= 0 and img.max() <= 1
+    assert (img.sum(-1) > 0.05).sum() > 20  # bodies actually visible
+    # hot core (T=1000) is the brightest thing on screen at the center
+    cy, cx = np.unravel_index(img.sum(-1).argmax(), img.sum(-1).shape)
+    assert abs(cx - 160) < 8 and abs(cy - 90) < 8
+
+
+def test_dead_bodies_not_rendered():
+    cfg = SimConfig(capacity=4)
+    st = scene.make_state(cfg, scene.head_on_collision())
+    img1 = np.asarray(splat.render_state(st, cfg, width=160, height=90))
+    st2 = st.replace(alive=st.alive & False)
+    img2 = np.asarray(splat.render_state(st2, cfg, width=160, height=90))
+    assert img1.sum() > 0 and img2.sum() == 0
+
+
+def test_hot_bodies_glow_brighter():
+    temp = jnp.array([0.0, 200.0])
+    mat = jnp.array([0, 0])
+    from nbx.config import default_materials
+
+    m = default_materials()
+    col = np.asarray(body_color(temp, mat, m.color1, m.color2))
+    assert col[1].sum() > col[0].sum() * 2  # emissive boost above T=50
+    assert col[1][0] > col[1][2]  # heat color is red-dominant
+
+
+def test_flashes_add_light():
+    img = jnp.zeros((90, 160, 3))
+    out = splat.add_flashes(
+        img,
+        jnp.array([[0.0, 0, 0]]),
+        jnp.array([50.0]),
+        jnp.array([True]),
+        Camera(eye=jnp.array([0.0, 0, 100.0]), target=jnp.zeros(3),
+               up=jnp.array([0.0, 1, 0])),
+        width=160,
+        height=90,
+    )
+    a = np.asarray(out)
+    assert a.max() > 1.0  # HDR flash energy (min(0.2*50, 15) = 10)
+    assert a[45, 80, 0] > a[45, 80, 2]  # 0xffaa00 is red>blue
+
+
+def test_tonemap_range():
+    x = jnp.array([[[0.0, 1.0, 100.0]]])
+    y = np.asarray(tonemap(x))
+    assert 0 <= y.min() and y.max() <= 1
+    assert y[0, 0, 2] > y[0, 0, 1] > y[0, 0, 0]
+
+
+def test_png_writer_valid(tmp_path):
+    img = np.zeros((8, 8, 3), np.float32)
+    img[2, 3] = [1.0, 0.5, 0.0]
+    p = str(tmp_path / "t.png")
+    viewer.write_png(p, img)
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", raw[16:24])
+    assert (w, h) == (8, 8)
+    # decode IDAT and check the pixel round-trips
+    idat_start = raw.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", raw[idat_start - 8 : idat_start - 4])[0]
+    rows = zlib.decompress(raw[idat_start : idat_start + idat_len])
+    px = rows[2 * (1 + 8 * 3) + 1 + 3 * 3 : 2 * (1 + 8 * 3) + 1 + 3 * 3 + 3]
+    assert px == bytes([255, 128, 0])
+
+
+def test_trajectory_and_player(tmp_path):
+    pos = np.random.default_rng(0).normal(size=(4, 10, 3)).astype(np.float32)
+    rad = np.ones(10, np.float32)
+    tj = str(tmp_path / "t.json")
+    viewer.record_trajectory(tj, pos, rad, stride=2)
+    html = str(tmp_path / "p.html")
+    viewer.write_html_player(html, tj)
+    s = open(html).read()
+    assert "requestAnimationFrame" in s and '"pos"' in s

@@ -35,30 +35,27 @@ def main():
     mass = jnp.asarray(sc["mass"])
     g, eps = 0.5, 0.5
 
-    if backend == "tpu":
-        tile_i, tile_j = 1024, 4096
-        f = lambda: pairwise_acc(pos, mass, g, eps, tile_i=tile_i, tile_j=tile_j)
-    else:  # CPU fallback so the harness still runs anywhere
+    from nbx.bench.throughput import measure_rate
+
+    if backend != "tpu":  # CPU fallback so the harness still runs anywhere
         n = 8192
         pos, mass = pos[:n], mass[:n]
+
+    # Methodology: one timed lax.scan of data-dependency-chained force evals
+    # (see nbx/bench/throughput.py — per-dispatch RPC timing is unreliable
+    # through the remote-execution relay).
+    t0 = time.time()
+    reps = 10 if backend == "tpu" else 2
+    rate, ms = measure_rate(pos, mass, g, eps, reps=reps)
+    log(f"N={n}: {ms:.1f} ms/force-eval -> {rate:.3e} pairs/s "
+        f"(total incl. compile {time.time() - t0:.1f}s)")
+    # sanity: forces are finite
+    if backend == "tpu":
+        r = pairwise_acc(pos, mass, g, eps)
+    else:
         from nbx import forces
 
-        f = lambda: forces.accelerations_blocked(pos, mass, g, eps, 1024)
-
-    t0 = time.time()
-    jax.block_until_ready(f())
-    log(f"compile+first run: {time.time() - t0:.1f}s")
-
-    reps = 5 if backend == "tpu" else 2
-    t0 = time.time()
-    for _ in range(reps):
-        r = f()
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / reps
-    rate = n * n / dt
-    log(f"N={n}: {dt * 1e3:.1f} ms/force-eval -> {rate:.3e} pairs/s")
-
-    # sanity: forces are finite
+        r = forces.accelerations_blocked(pos, mass, g, eps, 1024)
     assert np.isfinite(np.asarray(r)).all(), "non-finite accelerations"
 
     print(

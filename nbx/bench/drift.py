@@ -1,0 +1,117 @@
+"""Energy-drift gate (BASELINE config 3): Plummer sphere N=16k, 10k KDK
+steps, relative energy drift must stay < 1e-4.
+
+Everything runs on device: the force evaluation is the Pallas kernel, the
+time loop is one lax.scan, and energies are sampled on device every
+`diag_every` steps with the Pallas potential kernel — a 10k-step gate costs
+one dispatch + one small readback.
+
+Usage:  python -m nbx.bench.drift [n] [steps] [precision]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "diag_every", "precision", "interpret")
+)
+def drift_run(
+    pos,
+    vel,
+    mass,
+    G,
+    eps,
+    h,
+    n_steps: int,
+    diag_every: int = 100,
+    precision: str = "f32r",
+    interpret: bool = False,
+):
+    """Scan n_steps of KDK with warm-started acceleration; returns
+    (final pos, final vel, energies [n_steps / diag_every])."""
+    from nbx.ops.pairwise import pairwise_acc, potential_per_body
+
+    force = lambda p: pairwise_acc(
+        p, mass, G, eps, precision=precision, interpret=interpret
+    )
+
+    def energy(p, v):
+        phi = potential_per_body(p, mass, G, eps, interpret=interpret)
+        return 0.5 * jnp.sum(mass * jnp.sum(v * v, -1)) + 0.5 * jnp.sum(mass * phi)
+
+    def chunk(carry, _):
+        p, v, a = carry
+
+        def substep(c, _):
+            p, v, a = c
+            v = v + a * (0.5 * h)
+            p = p + v * h
+            a = force(p)
+            v = v + a * (0.5 * h)
+            return (p, v, a), None
+
+        (p, v, a), _ = jax.lax.scan(substep, (p, v, a), None, length=diag_every)
+        return (p, v, a), energy(p, v)
+
+    acc0 = force(pos)
+    e0 = energy(pos, vel)
+    (pos, vel, _), energies = jax.lax.scan(
+        chunk, (pos, vel, acc0), None, length=n_steps // diag_every
+    )
+    return pos, vel, jnp.concatenate([e0[None], energies])
+
+
+def main(n: int = 16384, n_steps: int = 10000, precision: str = "f32r"):
+    from nbx import scene
+
+    sc = scene.plummer(n=n, total_mass=float(n), scale_radius=10.0, G=1.0, seed=0)
+    pos = jnp.asarray(sc["pos"])
+    vel = jnp.asarray(sc["vel"])
+    mass = jnp.asarray(sc["mass"])
+    G, eps = 1.0, 0.1 * 10.0 / n ** (1 / 3)  # standard inter-particle softening
+    # dynamical time ~ sqrt(R^3 / GM); step well under it
+    t_dyn = float(np.sqrt(10.0**3 / (G * n)))
+    h = t_dyn / 100.0
+    print(
+        f"Plummer N={n}, steps={n_steps}, h={h:.2e}, eps={eps:.3f}, "
+        f"precision={precision}",
+        file=sys.stderr,
+    )
+    t0 = time.time()
+    p, v, energies = drift_run(pos, vel, mass, G, eps, h, n_steps, 100, precision)
+    # materialize: block_until_ready alone is not a reliable sync through
+    # the axon relay (see nbx/bench/throughput.py)
+    e = np.asarray(energies)
+    wall = time.time() - t0
+    drift = np.abs(e - e[0]).max() / abs(e[0])
+    rate = n * n * n_steps / wall
+    print(
+        f"E0={e[0]:.6e} drift_max={drift:.3e} wall={wall:.1f}s "
+        f"(~{rate:.2e} pairs/s incl. compile)",
+        file=sys.stderr,
+    )
+    print(
+        {
+            "metric": "relative_energy_drift_10k_steps",
+            "value": float(drift),
+            "gate": 1e-4,
+            "pass": bool(drift < 1e-4),
+            "precision": precision,
+        }
+    )
+    return drift
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    prec = sys.argv[3] if len(sys.argv) > 3 else "f32r"
+    main(n, steps, prec)

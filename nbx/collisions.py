@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from nbx import thermal
 from nbx.config import SimConfig, body_radius, inverse_mass
-from nbx.state import SimState, add_body
+from nbx.state import SimState, add_bodies_batch
 
 RESTITUTION = 0.2  # normal restitution (index.html:328)
 FRICTION = 0.5  # tangential impulse factor (index.html:365)
@@ -309,23 +309,9 @@ def resolve_collisions(
     birth_mat = jnp.concatenate([merge_mat, frag["mat"]])
     birth_mask = jnp.concatenate([m_valid, frag["mask"]])
 
-    def insert(b, carry):
-        st, n_evicted = carry
-
-        def do(st):
-            st2, evicted = add_body(
-                st, birth_mass[b], birth_pos[b], birth_vel[b],
-                birth_mat[b], birth_temp[b],
-            )
-            return st2, evicted.astype(jnp.int32)
-
-        st, ev = jax.lax.cond(
-            birth_mask[b], do, lambda st: (st, jnp.int32(0)), st
-        )
-        return st, n_evicted + ev
-
-    state, n_evicted = jax.lax.fori_loop(
-        0, birth_mask.shape[0], insert, (state, jnp.int32(0))
+    state, n_evicted = add_bodies_batch(
+        state, birth_mass, birth_pos, birth_vel, birth_mat, birth_temp,
+        birth_mask,
     )
 
     n_merge_sel = jnp.sum(merge_sel.astype(jnp.int32))

@@ -246,17 +246,21 @@ def pairwise_acc(
     softening,
     target_pos: jax.Array | None = None,
     tile_i: int = 256,
-    tile_j: int = 1024,
-    precision: str = "f32",
+    tile_j: int = 2048,
+    precision: str = "f32r",
     interpret: bool = False,
 ) -> jax.Array:
     """Softened gravitational acceleration via the Pallas kernel.
 
     pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
-    the sources). precision:
-      'f32'  exact-f32 accumulation (6-pass matmul, ~1e-7 matmul error)
-      'fast' 3-pass matmul + tile centering (~1e-5 force error, ~2x faster)
-      'bf16' bf16 pairwise study variant (~1e-2, BASELINE config 4)
+    the sources). precision (errors measured vs f64 at N=4096 on v5e):
+      'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (2.3e-6)
+             and fastest (4.0e11 pairs/s at N=262k on v5e, tiles 256x2048)
+      'f32'  mass-folded MXU accumulation, 6-pass f32 matmul (1.6e-4 via
+             cancellation amplification; ~1e11 pairs/s)
+      'fast' 3-pass bf16 matmul + tile centering (2e-3; 1.8e11 pairs/s —
+             kept for the precision study, not a win on v5e)
+      'bf16' bf16-pairwise study variant (4.7e-3, BASELINE config 4)
     """
     if target_pos is None:
         target_pos = pos

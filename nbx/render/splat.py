@@ -67,6 +67,18 @@ def project(
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
+def splat_bodies_hdr(
+    pos, radius, temp, mat, alive, color1, color2, cam,
+    width: int = 640, height: int = 360,
+) -> jax.Array:
+    """Body splats into a fresh HDR buffer (no tonemap) — the composition
+    primitive for the full frame pipeline."""
+    return _splat_bodies(
+        pos, radius, temp, mat, alive, color1, color2, cam, width, height
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
 def splat_frame(
     pos: jax.Array,  # [N, 3]
     radius: jax.Array,  # [N]
@@ -82,10 +94,18 @@ def splat_frame(
 ) -> jax.Array:
     """Render one HDR->tonemapped frame, [H, W, 3] f32 in [0, 1].
 
-    Each body splats its emissive color over a 2x2 bilinear footprint with
+    Each body splats its emissive color over a Gaussian footprint with
     intensity ~ apparent area (radius / depth)^2 — the point-splat analog of
     a shaded sphere + bloom.
     """
+    img = _splat_bodies(
+        pos, radius, temp, mat, alive, color1, color2, cam, width, height
+    )
+    return tonemap(img, exposure)
+
+
+def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
+                  width, height) -> jax.Array:
     px, py, z = project(cam, pos, width, height)
     visible = (
         alive
@@ -126,7 +146,7 @@ def splat_frame(
         img = img.at[y0 + dy, x0 + dx].add(
             rgb * (w * inv_wsum)[:, None], mode="drop"
         )
-    return tonemap(img, exposure)
+    return img
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

@@ -143,6 +143,62 @@ def add_body(
     )
 
 
+def add_bodies_batch(
+    state: SimState,
+    mass: jax.Array,  # [B]
+    pos: jax.Array,  # [B, 3]
+    vel: jax.Array,  # [B, 3]
+    mat: jax.Array,  # [B] i32
+    temp: jax.Array,  # [B]
+    mask: jax.Array,  # [B] bool — invalid births are skipped
+) -> tuple[SimState, jax.Array]:
+    """Insert up to B bodies in one vectorized pass (jit-safe).
+
+    Semantically equivalent to B sequential add_body calls (the reference's
+    newBodies loop, index.html:387-389): the k-th valid birth takes the k-th
+    slot in allocation priority order — free slots by ascending index first
+    (JS array append), then alive slots by ascending insertion seq (FIFO
+    `shift()` eviction, index.html:240-242). One lexsort + scatters instead
+    of a B-iteration fori_loop of argmax/scatter chains (~10x faster
+    collision substep at default event buffer sizes).
+
+    Requires B <= capacity (newborns never evict same-batch newborns; the
+    default capacity 300 >= max_births 160). Returns (state, n_evicted).
+    """
+    c = state.capacity
+    b = mask.shape[0]
+    slot_idx = jnp.arange(c, dtype=jnp.int32)
+    # allocation priority: (alive asc, then slot for free / seq for alive)
+    order = jnp.lexsort((jnp.where(state.alive, state.seq, slot_idx), state.alive))
+    order = order.astype(jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # [B] compacted position
+    slot = jnp.where(mask, order[jnp.clip(rank, 0, c - 1)], c)  # c = dropped
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    n_free = jnp.sum((~state.alive).astype(jnp.int32))
+    n_evicted = jnp.maximum(n_valid - n_free, 0)
+
+    seq_new = state.next_seq + rank
+    contact = state.contact
+    if contact is not None:
+        keep = jnp.ones((c,), bool).at[slot].set(False, mode="drop")
+        contact = jnp.where(keep[:, None] & keep[None, :], contact, 0.0)
+    return (
+        state.replace(
+            pos=state.pos.at[slot].set(jnp.asarray(pos, jnp.float32), mode="drop"),
+            vel=state.vel.at[slot].set(jnp.asarray(vel, jnp.float32), mode="drop"),
+            acc=state.acc.at[slot].set(0.0, mode="drop"),
+            mass=state.mass.at[slot].set(jnp.asarray(mass, jnp.float32), mode="drop"),
+            temp=state.temp.at[slot].set(jnp.asarray(temp, jnp.float32), mode="drop"),
+            mat=state.mat.at[slot].set(jnp.asarray(mat, jnp.int32), mode="drop"),
+            alive=state.alive.at[slot].set(True, mode="drop"),
+            seq=state.seq.at[slot].set(seq_new, mode="drop"),
+            next_seq=state.next_seq + n_valid,
+            contact=contact,
+        ),
+        n_evicted,
+    )
+
+
 def add_bodies(
     state: SimState,
     mass: jax.Array,

@@ -245,7 +245,7 @@ def pairwise_acc(
     G,
     softening,
     target_pos: jax.Array | None = None,
-    tile_i: int = 256,
+    tile_i: int = 512,
     tile_j: int = 2048,
     precision: str = "f32r",
     interpret: bool = False,
@@ -254,13 +254,15 @@ def pairwise_acc(
 
     pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
     the sources). precision (errors measured vs f64 at N=4096 on v5e):
-      'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (2.3e-6)
-             and fastest (4.0e11 pairs/s at N=262k on v5e, tiles 256x2048)
+      'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (2.3e-6
+             vs f64) and fastest: 1.84e11 pairs/s at N=262k on v5e
+             (~91% of the v5e VPU's theoretical peak at 19 ops/pair)
       'f32'  mass-folded MXU accumulation, 6-pass f32 matmul (1.6e-4 via
-             cancellation amplification; ~1e11 pairs/s)
-      'fast' 3-pass bf16 matmul + tile centering (2e-3; 1.8e11 pairs/s —
-             kept for the precision study, not a win on v5e)
-      'bf16' bf16-pairwise study variant (4.7e-3, BASELINE config 4)
+             cancellation amplification; 1.24e11 pairs/s)
+      'fast' 3-pass bf16 matmul + tile centering (2.0e-3; 1.28e11 pairs/s)
+      'bf16' bf16-pairwise study variant (4.7e-3; 1.16e11 — BASELINE cfg 4)
+    All rates measured with materialized-sync scan timing
+    (nbx/bench/throughput.py); tiles (512, 2048).
     """
     if target_pos is None:
         target_pos = pos

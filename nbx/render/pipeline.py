@@ -41,7 +41,7 @@ class FrameState:
         )
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "use_bloom"))
 def render_and_advance(
     frame: FrameState,
     state,  # SimState
@@ -51,6 +51,7 @@ def render_and_advance(
     width: int = 640,
     height: int = 360,
     exposure: float = 1.5,
+    use_bloom: bool = True,
 ):
     """One rendered frame + advanced renderer state. `events` may be a
     single-substep Events or a substep-stacked one (leaves [S, ...])."""
@@ -90,5 +91,9 @@ def render_and_advance(
     flash_mask = jnp.concatenate([flat(events.merge_mask), flat(events.fracture_mask)])
     hdr = add_flashes(hdr, flash_pos, flash_e, flash_mask, cam,
                       width=width, height=height)
+    if use_bloom:
+        from nbx.render.bloom import bloom
+
+        hdr = bloom(hdr)
 
     return FrameState(trails=trails, particles=parts), tonemap(hdr, exposure)

@@ -21,7 +21,9 @@ import numpy as np
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "diag_every", "precision", "interpret")
+    jax.jit,
+    static_argnames=("n_steps", "diag_every", "precision", "interpret",
+                     "compensated"),
 )
 def drift_run(
     pos,
@@ -34,9 +36,15 @@ def drift_run(
     diag_every: int = 100,
     precision: str = "f32r",
     interpret: bool = False,
+    compensated: bool = True,
 ):
     """Scan n_steps of KDK with warm-started acceleration; returns
-    (final pos, final vel, energies [n_steps / diag_every])."""
+    (final pos, final vel, energies [n_steps / diag_every]).
+
+    compensated=True uses Kahan-compensated position/velocity updates: over
+    10k steps the f32 update roundoff (|dx| ~ 1e-7 |x| per step, random-walk
+    accumulation) otherwise becomes a visible energy-drift floor.
+    """
     from nbx.ops.pairwise import pairwise_acc, potential_per_body
 
     force = lambda p: pairwise_acc(
@@ -47,39 +55,62 @@ def drift_run(
         phi = potential_per_body(p, mass, G, eps, interpret=interpret)
         return 0.5 * jnp.sum(mass * jnp.sum(v * v, -1)) + 0.5 * jnp.sum(mass * phi)
 
+    def kadd(x, c, dx):
+        """Kahan: (x, carry) + dx."""
+        y = dx - c
+        t = x + y
+        c = (t - x) - y
+        return t, c
+
     def chunk(carry, _):
-        p, v, a = carry
+        p, v, a, pc, vc = carry
 
-        def substep(c, _):
-            p, v, a = c
-            v = v + a * (0.5 * h)
-            p = p + v * h
-            a = force(p)
-            v = v + a * (0.5 * h)
-            return (p, v, a), None
+        def substep(s, _):
+            p, v, a, pc, vc = s
+            if compensated:
+                v, vc = kadd(v, vc, a * (0.5 * h))
+                p, pc = kadd(p, pc, v * h)
+                a = force(p)
+                v, vc = kadd(v, vc, a * (0.5 * h))
+            else:
+                v = v + a * (0.5 * h)
+                p = p + v * h
+                a = force(p)
+                v = v + a * (0.5 * h)
+            return (p, v, a, pc, vc), None
 
-        (p, v, a), _ = jax.lax.scan(substep, (p, v, a), None, length=diag_every)
-        return (p, v, a), energy(p, v)
+        (p, v, a, pc, vc), _ = jax.lax.scan(
+            substep, (p, v, a, pc, vc), None, length=diag_every
+        )
+        return (p, v, a, pc, vc), energy(p, v)
 
     acc0 = force(pos)
     e0 = energy(pos, vel)
-    (pos, vel, _), energies = jax.lax.scan(
-        chunk, (pos, vel, acc0), None, length=n_steps // diag_every
+    zero = jnp.zeros_like(pos)
+    (pos, vel, _, _, _), energies = jax.lax.scan(
+        chunk, (pos, vel, acc0, zero, zero), None, length=n_steps // diag_every
     )
     return pos, vel, jnp.concatenate([e0[None], energies])
 
 
-def main(n: int = 16384, n_steps: int = 10000, precision: str = "f32r"):
+def main(
+    n: int = 16384,
+    n_steps: int = 10000,
+    precision: str = "f32r",
+    eps_factor: float = 1.0,
+    h_div: float = 200.0,
+):
     from nbx import scene
 
     sc = scene.plummer(n=n, total_mass=float(n), scale_radius=10.0, G=1.0, seed=0)
     pos = jnp.asarray(sc["pos"])
     vel = jnp.asarray(sc["vel"])
     mass = jnp.asarray(sc["mass"])
-    G, eps = 1.0, 0.1 * 10.0 / n ** (1 / 3)  # standard inter-particle softening
+    # mean inter-particle softening a * N^(-1/3) (standard collisionless choice)
+    G, eps = 1.0, eps_factor * 10.0 * n ** (-1 / 3)
     # dynamical time ~ sqrt(R^3 / GM); step well under it
     t_dyn = float(np.sqrt(10.0**3 / (G * n)))
-    h = t_dyn / 100.0
+    h = t_dyn / h_div
     print(
         f"Plummer N={n}, steps={n_steps}, h={h:.2e}, eps={eps:.3f}, "
         f"precision={precision}",

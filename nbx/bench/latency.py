@@ -43,7 +43,7 @@ def kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str = "f32r"):
 
     (p, v, a), _ = jax.lax.scan(body, (pos, vel, jnp.zeros_like(pos)), None,
                                 length=reps)
-    return p
+    return p, v
 
 
 def step_latency_ms(n: int, reps: int = 20, precision: str | None = None) -> float:
@@ -56,15 +56,15 @@ def step_latency_ms(n: int, reps: int = 20, precision: str | None = None) -> flo
     vel = jnp.asarray(sc["vel"])
     mass = jnp.asarray(sc["mass"])
     args = (pos, vel, mass, 1.0, 0.1, 1e-4)
-    float(np.asarray(kdk_scan(*args, reps, precision)).sum())  # compile+warm
-    float(np.asarray(kdk_scan(*args, 1, precision)).sum())
+    float(np.asarray(kdk_scan(*args, reps, precision)[0]).sum())  # compile+warm
+    float(np.asarray(kdk_scan(*args, 1, precision)[0]).sum())
     t0 = time.time()
     float(np.asarray(kdk_scan(pos + 1e-5, vel, mass, 1.0, 0.1, 1e-4, reps,
-                              precision)).sum())
+                              precision)[0]).sum())
     dt_long = time.time() - t0
     t0 = time.time()
     float(np.asarray(kdk_scan(pos + 2e-5, vel, mass, 1.0, 0.1, 1e-4, 1,
-                              precision)).sum())
+                              precision)[0]).sum())
     dt_short = time.time() - t0
     return max(dt_long - dt_short, 1e-9) / (reps - 1) * 1e3
 

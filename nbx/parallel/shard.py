@@ -207,6 +207,52 @@ def run_sharded(
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "width", "height"))
+def render_sharded(
+    mesh: Mesh,
+    state: ShardedState,
+    cam,
+    radius_scale: float = 0.8,
+    width: int = 640,
+    height: int = 360,
+    exposure: float = 4.0,
+):
+    """Device-side rendering of a sharded state: every chip splats its LOCAL
+    body shard into an HDR framebuffer, one psum over the mesh composites the
+    additive image, tonemap replicates — the interactive-render story for the
+    N=1M multi-chip configuration (BASELINE config 5). Readback ships one
+    [H, W, 3] image regardless of N."""
+    from nbx.config import default_materials
+    from nbx.render.colormap import tonemap
+    from nbx.render.splat import splat_bodies_hdr
+
+    mats = default_materials()
+
+    def local(pos, mass):
+        n_loc = pos.shape[0]
+        radius = jnp.cbrt(mass) * radius_scale
+        hdr = splat_bodies_hdr(
+            pos,
+            radius,
+            jnp.zeros((n_loc,)),
+            jnp.zeros((n_loc,), jnp.int32),
+            jnp.ones((n_loc,), bool),
+            mats.color1,
+            mats.color2,
+            cam,
+            width=width,
+            height=height,
+        )
+        return tonemap(jax.lax.psum(hdr, "b"), exposure)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("b", None), P("b")),
+        out_specs=P(),
+    )(state.pos, state.mass)
+
+
 def sharded_energy(mesh: Mesh, state: ShardedState, G, eps, impl: str = "auto"):
     """Total (KE, PE) computed on device with psum reduction."""
     if impl == "auto":

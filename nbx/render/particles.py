@@ -69,11 +69,14 @@ def update(p: ParticleState, dt) -> ParticleState:
 def _spawn(p: ParticleState, new_pos, new_vel, new_life, new_decay, mask):
     """Write spawned particles into dead slots (lowest-life first — the
     pool analog of the reference's splice-and-push)."""
-    b = mask.shape[0]
+    pool = p.life.shape[0]
+    b = min(mask.shape[0], pool)  # spawns beyond the pool size are dropped
+    new_pos, new_vel = new_pos[:b], new_vel[:b]
+    new_life, new_decay, mask = new_life[:b], new_decay[:b], mask[:b]
     # k dead slots with smallest life (dead slots have life 0)
     neg_life, slots = jax.lax.top_k(-p.life, b)
     ok = mask & (-neg_life <= 0.0)  # only overwrite actually-dead slots
-    slots = jnp.where(ok, slots, p.life.shape[0])  # drop
+    slots = jnp.where(ok, slots, pool)  # drop
     return dataclasses.replace(
         p,
         pos=p.pos.at[slots].set(new_pos, mode="drop"),

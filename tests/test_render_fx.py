@@ -1,0 +1,96 @@
+"""Trails, particles, bloom, and the composite pipeline."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbx import scene, sim
+from nbx.config import SimConfig, default_materials
+from nbx.render import particles as pmod
+from nbx.render import trails as tmod
+from nbx.render.bloom import bloom
+from nbx.render.pipeline import FrameState, render_and_advance
+from nbx.render.splat import Camera
+
+
+def test_trail_ring_buffer():
+    t = tmod.TrailState.create(capacity=2, length=4)
+    alive = jnp.array([True, True])
+    for k in range(6):
+        t = tmod.update(t, jnp.full((2, 3), float(k)), alive)
+    assert int(t.head) == 6
+    # ring holds the last 4 positions: ages 0..3 = values 5,4,3,2
+    idx = (t.head - 1 - jnp.arange(4)) % 4
+    vals = np.asarray(t.pos[0, idx, 0])
+    np.testing.assert_allclose(vals, [5, 4, 3, 2])
+    assert bool(t.valid.all())
+
+
+def test_trail_dead_slot_invalidates():
+    t = tmod.TrailState.create(capacity=2, length=4)
+    alive = jnp.array([True, True])
+    t = tmod.update(t, jnp.ones((2, 3)), alive)
+    t = tmod.update(t, jnp.ones((2, 3)), jnp.array([True, False]))
+    v = np.asarray(t.valid)
+    assert v[0].any() and not v[1].any()  # dead body's whole history cleared
+
+
+def test_particle_update_and_death():
+    p = pmod.ParticleState.create(pool=16)
+    p = pmod.spawn_explosions(
+        p, jnp.zeros((1, 3)), jnp.array([True])
+    )
+    assert int(p.n_alive) == pmod.EXPLOSION_COUNT
+    v0 = np.asarray(p.pos).copy()
+    p = pmod.update(p, 0.5)
+    moved = np.abs(np.asarray(p.pos) - v0).max()
+    assert moved > 0
+    for _ in range(200):
+        p = pmod.update(p, 0.5)
+    assert int(p.n_alive) == 0  # all decayed
+
+
+def test_particle_pool_never_overflows():
+    p = pmod.ParticleState.create(pool=20)
+    for _ in range(5):  # 5 x 2 x 15 = 150 candidate spawns into a pool of 20
+        p = pmod.spawn_explosions(p, jnp.zeros((2, 3)), jnp.array([True, True]))
+    assert int(p.n_alive) <= 20
+    assert p.pos.shape[0] == 20
+
+
+def test_smoke_only_from_hot_bodies():
+    p = pmod.ParticleState.create(pool=64, key=3)
+    pos = jnp.zeros((4, 3))
+    vel = jnp.zeros((4, 3))
+    radius = jnp.ones(4)
+    temp = jnp.array([0.0, 10.0, 500.0, 500.0])
+    alive = jnp.array([True, True, True, False])
+    n0 = 0
+    for _ in range(30):
+        p = pmod.spawn_smoke(p, pos, vel, radius, temp, alive)
+    # only body 2 (hot AND alive) can emit
+    assert int(p.n_alive) > 0
+    assert int(p.n_alive) <= 30
+
+
+def test_bloom_spreads_bright_pixels():
+    img = jnp.zeros((32, 32, 3)).at[16, 16].set(10.0)
+    out = np.asarray(bloom(img))
+    assert out[16, 16].sum() > 10.0 * 3 * 0.9  # original kept
+    assert out[16, 20].sum() > 0.01  # halo spread
+    # sub-threshold pixels don't bloom
+    img2 = jnp.zeros((32, 32, 3)).at[16, 16].set(0.2)
+    out2 = np.asarray(bloom(img2))
+    np.testing.assert_allclose(out2[16, 20], 0.0, atol=1e-7)
+
+
+def test_pipeline_end_to_end():
+    cfg = SimConfig(capacity=32)
+    st = scene.make_state(cfg, scene.head_on_collision(), key=0)
+    fr = FrameState.create(cfg.capacity, cfg.trail_length)
+    cam = Camera.default()
+    st, ev = sim.step(st, cfg)
+    fr2, img = render_and_advance(fr, st, cfg, ev, cam, width=160, height=90)
+    a = np.asarray(img)
+    assert a.shape == (90, 160, 3)
+    assert a.min() >= 0 and a.max() <= 1 and a.sum() > 0
+    assert int(fr2.trails.head) == 1

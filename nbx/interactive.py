@@ -91,6 +91,20 @@ class Simulation:
         vel = SPAWN_VELOCITY_FACTOR * (end - start)
         return self.spawn(start, vel, mass=mass, mat=mat)
 
+    def spawn_drag_screen(self, cam, sx0, sy0, sx1, sy1,
+                          width: int = 640, height: int = 360,
+                          mass: float | None = None, mat: int = ROCK) -> bool:
+        """Full reference input path: raycast two screen points onto the
+        y = 0 plane (index.html:787-790) then slingshot-spawn between them.
+        No-op (returns False) if either ray misses the plane."""
+        from nbx.render.splat import screen_to_plane
+
+        p0, hit0 = screen_to_plane(cam, sx0, sy0, width, height)
+        p1, hit1 = screen_to_plane(cam, sx1, sy1, width, height)
+        if not (bool(hit0) and bool(hit1)):
+            return False
+        return self.spawn_drag(np.asarray(p0), np.asarray(p1), mass=mass, mat=mat)
+
     # -- observation -----------------------------------------------------------
     def bodies(self) -> dict:
         """Compacted host view in insertion order (the reference's

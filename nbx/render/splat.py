@@ -39,6 +39,22 @@ class Camera:
             up=jnp.array([0.0, 1.0, 0.0]),
         )
 
+    def orbit(self, d_yaw: float = 0.0, d_pitch: float = 0.0,
+              zoom: float = 1.0) -> "Camera":
+        """OrbitControls-style rotate/zoom around the target
+        (index.html:716-722: left=rotate, wheel=dolly)."""
+        rel = self.eye - self.target
+        r = jnp.linalg.norm(rel) * zoom
+        yaw = jnp.arctan2(rel[0], rel[2]) + d_yaw
+        pitch = jnp.clip(
+            jnp.arcsin(rel[1] / jnp.linalg.norm(rel)) + d_pitch, -1.45, 1.45
+        )
+        eye = self.target + r * jnp.array(
+            [jnp.cos(pitch) * jnp.sin(yaw), jnp.sin(pitch),
+             jnp.cos(pitch) * jnp.cos(yaw)]
+        )
+        return dataclasses.replace(self, eye=eye)
+
 
 def _look_at(cam: Camera):
     fwd = cam.target - cam.eye
@@ -64,6 +80,23 @@ def project(
     px = width / 2.0 + f * x / safe_z
     py = height / 2.0 - f * y / safe_z
     return px, py, z
+
+
+def screen_to_plane(
+    cam: Camera, sx, sy, width: int, height: int, plane_y: float = 0.0
+):
+    """Unproject a screen pixel to the y = plane_y world plane — the
+    raycaster the reference uses for drag-to-spawn (index.html:787-790).
+    Returns ([3] point, [] hit flag); no hit when the ray is parallel or
+    points away from the plane."""
+    right, up, fwd = _look_at(cam)
+    f = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
+    d = fwd + (sx - width / 2.0) / f * right - (sy - height / 2.0) / f * up
+    d = d / jnp.linalg.norm(d)
+    denom = d[1]
+    t = jnp.where(jnp.abs(denom) > 1e-9, (plane_y - cam.eye[1]) / denom, -1.0)
+    hit = t > 0
+    return cam.eye + t * d, hit
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -104,6 +137,9 @@ def splat_frame(
     return tonemap(img, exposure)
 
 
+SUN_POS = jnp.array([50.0, 50.0, 50.0])  # DirectionalLight site (L737-741)
+
+
 def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
                   width, height) -> jax.Array:
     px, py, z = project(cam, pos, width, height)
@@ -116,6 +152,18 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
         & (py < height - 1)
     )
     col = body_color(temp, mat, color1, color2)  # [N, 3]
+    # Sun-phase shading: the lit fraction of a sphere facing the camera is
+    # (1 + cos(sun-body-eye angle)) / 2 — the splat-level stand-in for the
+    # shader's Lambertian sun term (index.html:174-181) with the reference's
+    # 0.05 ambient floor (L197). Hot bodies are emissive and ignore it.
+    to_sun = SUN_POS[None, :] - pos
+    to_eye = cam.eye[None, :] - pos
+    cosang = jnp.sum(to_sun * to_eye, axis=1) * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(to_sun**2, 1) * jnp.sum(to_eye**2, 1), 1e-12)
+    )
+    lit = 0.05 + 0.95 * 0.5 * (1.0 + cosang)
+    emissive = jnp.clip(temp / 50.0, 0.0, 1.0)
+    col = col * jnp.maximum(lit, emissive)[:, None]
     f = (height / 2.0) / jnp.tan(jnp.deg2rad(45.0) / 2.0)
     app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
     # Energy ~ apparent area, floored so sub-pixel bodies stay visible

@@ -83,14 +83,15 @@ def test_sharded_energy(mesh):
 
 
 def test_sharded_drift_short(mesh):
-    """Energy stays bounded over a short sharded Plummer run."""
+    """Energy stays bounded over a short sharded Plummer run (scanned on
+    device in ONE dispatch via run_sharded — also avoids a rare XLA-CPU
+    shutdown abort seen with dozens of sequential multi-device dispatches)."""
     pos, vel, mass = _setup(n=512, seed=3)
     st = shard.shard_state(mesh, pos, vel, mass)
     step = shard.make_sharded_step(mesh, impl="jnp")
     ke0, pe0 = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
     e0 = float(ke0 + pe0)
-    for _ in range(50):
-        st = step(st, 0.5, 0.5, 0.005)
+    st = shard.run_sharded(st, step, 0.5, 0.5, 0.005, n_steps=50)
     ke1, pe1 = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
     drift = abs(float(ke1 + pe1) - e0) / abs(e0)
     assert drift < 1e-3, f"sharded energy drift {drift}"

@@ -18,6 +18,36 @@ import zlib
 import numpy as np
 
 
+class AsyncReadback:
+    """Double-buffered host readback: submit frame k+1's device computation
+    before materializing frame k, so the host transfer overlaps the next
+    step+render (the async-readback half of SURVEY.md section 7's rendering
+    plan — JAX dispatch is already asynchronous; this object just delays the
+    materialization point by one frame).
+
+    Usage:
+        rb = AsyncReadback()
+        for ...:
+            state, ev = sim.step(state, cfg)
+            fr, img = render_and_advance(fr, state, cfg, ev, cam)
+            ready = rb.push(img)      # returns the PREVIOUS frame (or None)
+            if ready is not None: write_png(..., ready)
+        last = rb.flush()
+    """
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, device_img) -> np.ndarray | None:
+        prev = self._pending
+        self._pending = device_img
+        return np.asarray(prev) if prev is not None else None
+
+    def flush(self) -> np.ndarray | None:
+        prev, self._pending = self._pending, None
+        return np.asarray(prev) if prev is not None else None
+
+
 def to_u8(img) -> np.ndarray:
     """[H, W, 3] float in [0,1] -> u8."""
     a = np.asarray(img)

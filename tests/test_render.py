@@ -106,3 +106,15 @@ def test_trajectory_and_player(tmp_path):
     viewer.write_html_player(html, tj)
     s = open(html).read()
     assert "requestAnimationFrame" in s and '"pos"' in s
+
+
+def test_async_readback_order():
+    from nbx.render.viewer import AsyncReadback
+    import jax.numpy as jnp
+
+    rb = AsyncReadback()
+    assert rb.push(jnp.zeros((2, 2, 3)) + 1) is None
+    out = rb.push(jnp.zeros((2, 2, 3)) + 2)
+    np.testing.assert_allclose(out, 1.0)  # frame k returned while k+1 pends
+    np.testing.assert_allclose(rb.flush(), 2.0)
+    assert rb.flush() is None

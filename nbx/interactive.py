@@ -57,6 +57,8 @@ class Simulation:
         builder = scene.SCENARIOS[scenario]
         if scenario == "galaxy":
             kw.setdefault("G", float(self.cfg.G))
+            # fit the reference's 1 + 150 bodies into smaller capacities
+            kw.setdefault("n_disk", min(150, self.cfg.capacity - 1))
         sc = builder(**kw)
         self.state = scene.make_state(self.cfg, sc, key=self._key)
         return self

@@ -1,0 +1,89 @@
+"""Live viewer server: endpoints drive the simulation over HTTP."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from nbx.config import SimConfig
+from nbx.serve import LiveSim, make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+
+    live = LiveSim(
+        SimConfig(capacity=32), scenario="collision", width=160, height=90,
+        fps=60.0,
+    ).start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(live))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    # wait for the first rendered frame
+    for _ in range(600):  # first frame includes XLA compile
+        if live.frame_png:
+            break
+        time.sleep(0.1)
+    yield base, live
+    httpd.shutdown()
+    live.stop()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read(), r.headers.get("Content-Type")
+
+
+def test_index_page(server):
+    base, _ = server
+    code, body, ctype = _get(base + "/")
+    assert code == 200 and ctype == "text/html"
+    assert b"Mode: VIEW" in body
+
+
+def test_frame_png(server):
+    base, _ = server
+    code, body, ctype = _get(base + "/frame.png")
+    assert code == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_state_and_stepping(server):
+    base, _ = server
+    _, body, _ = _get(base + "/state")
+    s0 = json.loads(body)
+    assert s0["alive"] == 2
+    time.sleep(0.5)
+    s1 = json.loads(_get(base + "/state")[1])
+    assert s1["step"] > s0["step"]  # background thread is stepping
+
+
+def test_spawn_endpoint(server):
+    base, live = server
+    before = json.loads(_get(base + "/state")[1])["alive"]
+    code, body, _ = _get(base + "/spawn?sx0=80&sy0=50&sx1=90&sy1=50")
+    assert code == 200
+    after = json.loads(_get(base + "/state")[1])["alive"]
+    assert after == before + 1
+
+
+def test_set_and_orbit(server):
+    base, live = server
+    _get(base + "/set?G=2.5&fracture_threshold=42")
+    s = json.loads(_get(base + "/state")[1])
+    assert s["G"] == 2.5
+    eye0 = live.cam.eye
+    _get(base + "/orbit?dyaw=0.5")
+    assert float(abs(live.cam.eye - eye0).max()) > 1.0
+
+
+def test_reset(server):
+    base, _ = server
+    _get(base + "/reset?scenario=galaxy")
+    s = json.loads(_get(base + "/state")[1])
+    assert s["alive"] > 2
+    _get(base + "/reset?scenario=collision")

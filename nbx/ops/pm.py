@@ -1,0 +1,167 @@
+"""Particle-mesh (PM) gravity solver — the O(N + G^3 log G) scaling path.
+
+The reference (and nbx's Pallas kernel) is direct-sum O(N^2); beyond ~1M
+bodies the right collisionless-dynamics tool is PM (Hockney & Eastwood):
+
+    1. deposit mass onto a G^3 grid with cloud-in-cell (CIC) weights
+    2. solve the Poisson equation in Fourier space (jnp.fft.fftn — FFTs are
+       a first-class TPU/XLA primitive)
+    3. spectral gradient -> acceleration grids
+    4. CIC-gather accelerations back to the bodies
+
+Everything is one jit; the deposit is a dual scatter-add, the gather a dual
+linear interpolation — both XLA-native. Periodic boundaries by construction;
+isolated (vacuum) boundaries via the standard 2x zero-padded Hockney trick.
+
+Accuracy: forces are exact for wavelengths >> cell size and softened below
+the grid scale — PM's effective softening is ~1 cell. The test suite gates
+PM against the direct-sum oracle on smooth mass distributions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _cic_parts(pos, box_size: float, g: int):
+    """CIC base cell + fractional offsets. pos in [0, box)^3."""
+    h = box_size / g
+    u = pos / h - 0.5  # cell-centered convention
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    return i0, f
+
+
+def cic_deposit(pos, mass, box_size: float, g: int) -> jax.Array:
+    """Scatter mass to the [g, g, g] density grid (periodic CIC)."""
+    i0, f = _cic_parts(pos, box_size, g)
+    grid = jnp.zeros((g, g, g), jnp.float32)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, g)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, g)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, g)
+                grid = grid.at[ix, iy, iz].add(mass * wx * wy * wz)
+    return grid
+
+
+def cic_gather(field, pos, box_size: float, g: int) -> jax.Array:
+    """Gather a [g, g, g, C] grid field to the bodies ([N, C])."""
+    i0, f = _cic_parts(pos, box_size, g)
+    out = 0.0
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, g)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, g)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, g)
+                out = out + field[ix, iy, iz] * (wx * wy * wz)[:, None]
+    return out
+
+
+def _kvec(g: int, box_size: float):
+    k1 = 2 * jnp.pi * jnp.fft.fftfreq(g, d=box_size / g)
+    kx = k1[:, None, None]
+    ky = k1[None, :, None]
+    kz = k1[None, None, :]
+    k2 = kx**2 + ky**2 + kz**2
+    return kx, ky, kz, k2
+
+
+@functools.partial(jax.jit, static_argnames=("g", "isolated", "deconvolve"))
+def pm_acceleration(
+    pos: jax.Array,  # [N, 3] — must lie in [0, box)^3 for periodic,
+    mass: jax.Array,  # [N]      [0, box/2)^3 recommended for isolated
+    G,
+    box_size: float,
+    g: int = 128,
+    isolated: bool = True,
+    deconvolve: bool = True,
+) -> jax.Array:
+    """PM gravitational acceleration at each body, [N, 3].
+
+    isolated=True solves vacuum boundaries on a 2x zero-padded grid with the
+    free-space Green's function (Hockney); False is fully periodic.
+    deconvolve divides out the CIC assignment window twice (deposit+gather),
+    sharpening forces near the grid scale.
+    """
+    rho = cic_deposit(pos, mass, box_size, g)
+
+    if isolated:
+        gp = 2 * g
+        h = box_size / g
+        rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[:g, :g, :g].set(rho)
+        # free-space Green's function sampled on the padded grid, with the
+        # standard wrap to keep it circularly symmetric under periodic FFT
+        idx = jnp.arange(gp)
+        d1 = jnp.minimum(idx, gp - idx).astype(jnp.float32) * h
+        rx = d1[:, None, None]
+        ry = d1[None, :, None]
+        rz = d1[None, None, :]
+        r = jnp.sqrt(rx**2 + ry**2 + rz**2)
+        green = jnp.where(r > 0, -1.0 / jnp.where(r > 0, r, 1.0), -1.0 / (0.5 * h))
+        phi_hat = jnp.fft.fftn(rho_p) * jnp.fft.fftn(green) * G
+        kx, ky, kz, _ = _kvec(gp, 2 * box_size)
+        if deconvolve:
+            phi_hat = phi_hat / _cic_window(gp) ** 2
+        ax = jnp.real(jnp.fft.ifftn(1j * kx * phi_hat))
+        ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
+        az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
+        acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:g, :g, :g]
+    else:
+        kx, ky, kz, k2 = _kvec(g, box_size)
+        rho_hat = jnp.fft.fftn(rho)
+        vol = (box_size / g) ** 3
+        safe_k2 = jnp.where(k2 > 0, k2, 1.0)
+        phi_hat = jnp.where(k2 > 0, -4 * jnp.pi * G * rho_hat / (safe_k2 * vol), 0.0)
+        if deconvolve:
+            phi_hat = phi_hat / _cic_window(g) ** 2
+        ax = jnp.real(jnp.fft.ifftn(1j * kx * phi_hat))
+        ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
+        az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
+        acc_grid = -jnp.stack([ax, ay, az], axis=-1)
+
+    return cic_gather(acc_grid, pos, box_size, g)
+
+
+def _cic_window(g: int) -> jax.Array:
+    """CIC assignment window W(k) = prod sinc^2(k h / 2) on the FFT grid,
+    floored away from zero for stable deconvolution."""
+    w1 = jnp.sinc(jnp.fft.fftfreq(g))  # per-axis sinc(k h / 2 / pi)
+    w = (
+        w1[:, None, None] ** 2
+        * w1[None, :, None] ** 2
+        * w1[None, None, :] ** 2
+    )
+    return jnp.maximum(w, 0.05)  # sinc^2 >= 0; floor stabilizes Nyquist
+
+
+@functools.partial(jax.jit, static_argnames=("g", "n_steps", "isolated"))
+def pm_kdk_scan(pos, vel, mass, G, box_size: float, h, n_steps: int,
+                g: int = 128, isolated: bool = True):
+    """KDK leapfrog under lax.scan with PM forces (the scaling-path
+    integrator; same ordering semantics as the direct-sum step)."""
+    force = lambda p: pm_acceleration(p, mass, G, box_size, g, isolated)
+
+    def body(c, _):
+        p, v, a = c
+        v = v + a * (0.5 * h)
+        p = p + v * h
+        a = force(p)
+        v = v + a * (0.5 * h)
+        return (p, v, a), None
+
+    (p, v, a), _ = jax.lax.scan(
+        body, (pos, vel, force(pos)), None, length=n_steps
+    )
+    return p, v

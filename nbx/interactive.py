@@ -131,6 +131,24 @@ class Simulation:
         return np.asarray(img)
 
     # -- persistence -----------------------------------------------------------
+    def run_checkpointed(
+        self, n_frames: int, path: str, every: int = 100
+    ) -> None:
+        """Advance n_frames, snapshotting every `every` frames — the
+        preemption-recovery loop (SURVEY.md section 5, failure detection /
+        elastic recovery): a killed job resumes from the last snapshot with
+        Simulation.load(path) and loses at most `every` frames."""
+        done = 0
+        while done < n_frames:
+            chunk = min(every, n_frames - done)
+            self.step(chunk)
+            done += chunk
+            tmp = path + ".tmp.npz"  # np.savez appends .npz to bare names
+            checkpoint.save_state(tmp, self.state, self.cfg)
+            import os
+
+            os.replace(tmp, path)  # atomic: never a torn checkpoint
+
     def save(self, path: str) -> None:
         checkpoint.save_state(path, self.state, self.cfg)
 

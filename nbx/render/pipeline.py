@@ -41,6 +41,37 @@ class FrameState:
         )
 
 
+N_STARS = 3000  # reference starfield (index.html:696-705)
+
+
+def starfield_directions(key: int = 7, n: int = N_STARS) -> jax.Array:
+    """Unit directions of the background stars (the reference scatters 3000
+    points in a +-750 cube; at infinity only direction matters, so the
+    field is camera-rotation-correct and parallax-free)."""
+    k = jax.random.PRNGKey(key)
+    v = jax.random.normal(k, (n, 3))
+    return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def splat_starfield(
+    img_hdr: jax.Array, dirs: jax.Array, cam: Camera,
+    width: int = 640, height: int = 360, gain: float = 0.22,
+) -> jax.Array:
+    """Additive dim star points at infinity."""
+    from nbx.render.splat import project
+
+    pos = cam.eye[None, :] + dirs * 1e6  # effectively at infinity
+    px, py, z = project(cam, pos, width, height)
+    vis = (z > 0) & (px >= 0) & (px < width - 1) & (py >= 0) & (py < height - 1)
+    inten = jnp.where(vis, gain, 0.0)
+    x0 = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+    y0 = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+    return img_hdr.at[y0, x0].add(
+        inten[:, None] * jnp.ones((1, 3)), mode="drop"
+    )
+
+
 @partial(jax.jit, static_argnames=("width", "height", "use_bloom"))
 def render_and_advance(
     frame: FrameState,
@@ -52,9 +83,11 @@ def render_and_advance(
     height: int = 360,
     exposure: float = 1.5,
     use_bloom: bool = True,
+    stars: jax.Array | None = None,
 ):
     """One rendered frame + advanced renderer state. `events` may be a
-    single-substep Events or a substep-stacked one (leaves [S, ...])."""
+    single-substep Events or a substep-stacked one (leaves [S, ...]).
+    Pass `stars` (from starfield_directions()) for the background field."""
     radius = state.radius(cfg)
     c1, c2 = cfg.materials.color1, cfg.materials.color2
 
@@ -77,6 +110,8 @@ def render_and_advance(
         state.pos, radius, state.temp, state.mat, state.alive, c1, c2, cam,
         width=width, height=height,
     )
+    if stars is not None:
+        hdr = splat_starfield(hdr, stars, cam, width=width, height=height)
     hdr = trails_mod.splat_trails(
         hdr, trails, radius, state.temp, state.mat, c1, c2, cam,
         width=width, height=height,

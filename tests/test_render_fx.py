@@ -94,3 +94,31 @@ def test_pipeline_end_to_end():
     assert a.shape == (90, 160, 3)
     assert a.min() >= 0 and a.max() <= 1 and a.sum() > 0
     assert int(fr2.trails.head) == 1
+
+
+def test_starfield_renders():
+    from nbx.render.pipeline import splat_starfield, starfield_directions
+    import jax.numpy as jnp
+
+    dirs = starfield_directions(n=500)
+    img = splat_starfield(jnp.zeros((90, 160, 3)), dirs, Camera.default(),
+                          width=160, height=90)
+    a = np.asarray(img)
+    assert a.sum() > 0
+    # ~6% of isotropic directions land in a 45-degree frustum
+    assert (a.sum(-1) > 0).sum() > 15
+    # rotation moves the field
+    img2 = splat_starfield(jnp.zeros((90, 160, 3)), dirs,
+                           Camera.default().orbit(d_yaw=1.0),
+                           width=160, height=90)
+    assert np.abs(np.asarray(img2) - a).max() > 0
+
+
+def test_checkpointed_run(tmp_path):
+    from nbx.interactive import Simulation
+
+    s = Simulation(SimConfig(capacity=16), scenario="collision")
+    p = str(tmp_path / "ckpt.npz")
+    s.run_checkpointed(25, p, every=10)
+    s2 = Simulation.load(p)
+    np.testing.assert_array_equal(s2.bodies()["pos"], s.bodies()["pos"])

@@ -69,18 +69,21 @@ def step_latency_ms(n: int, reps: int = 20, precision: str | None = None) -> flo
     return max(dt_long - dt_short, 1e-9) / (reps - 1) * 1e3
 
 
-def main(reps: int = 20):
+def main(reps: int | None = None):
     on_tpu = jax.default_backend() == "tpu"
     ns = [1024, 4096, 16384, 65536, 262144, 1048576] if on_tpu else [1024, 4096]
+    # rep counts sized so per-step time >> tunnel RTT jitter / reps
+    default_reps = {1024: 800, 4096: 800, 16384: 400, 65536: 100,
+                    262144: 16, 1048576: 4}
     out = {}
     for n in ns:
-        r = max(4, reps if n <= 262144 else 4)
+        r = reps or default_reps.get(n, 16)
         ms = step_latency_ms(n, r)
         out[n] = ms
-        print(f"N={n}: {ms:.2f} ms/step", file=sys.stderr, flush=True)
+        print(f"N={n}: {ms:.2f} ms/step ({r} reps)", file=sys.stderr, flush=True)
     print(json.dumps({"metric": "p50_step_latency_ms", "by_n": out}))
     return out
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else None)

@@ -36,13 +36,12 @@ Math.random (L418-433) with deterministic, checkpointable sampling.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from nbx import thermal
-from nbx.config import SimConfig, body_radius, inverse_mass
+from nbx.config import SimConfig, inverse_mass
 from nbx.state import SimState, add_bodies_batch
 
 RESTITUTION = 0.2  # normal restitution (index.html:328)

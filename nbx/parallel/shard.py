@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from nbx import forces
 
 
 def make_mesh(n_devices: int | None = None, axes=("b",)) -> Mesh:

@@ -33,7 +33,6 @@ from nbx.config import SimConfig
 from nbx.interactive import Simulation
 from nbx.render.pipeline import FrameState, render_and_advance
 from nbx.render.splat import Camera
-from nbx.render.viewer import write_png
 
 _TUNABLE = {
     "G", "softening", "dt", "spawn_mass", "fracture_threshold",

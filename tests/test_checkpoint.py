@@ -7,7 +7,6 @@ import pytest
 
 from nbx import checkpoint, scene, sim
 from nbx.config import SimConfig
-from nbx.state import SimState
 
 
 def _setup(tmp_path):

@@ -6,8 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nbx import diagnostics, scene, sim
-from nbx.config import ICE, ROCK, SimConfig
+from nbx import sim
+from nbx.config import ROCK, SimConfig
 from nbx.state import add_body, empty_state
 
 

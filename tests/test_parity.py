@@ -3,9 +3,7 @@ transliteration of index.html semantics, at matched dt/subSteps
 (BASELINE config 1; SURVEY.md section 4.1)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import oracle as orc
 from nbx import scene, sim

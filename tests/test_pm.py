@@ -3,7 +3,6 @@ sum, momentum balance."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from nbx import forces
 from nbx.ops.pm import cic_deposit, cic_gather, pm_acceleration

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nbx import scene, sim
-from nbx.config import SimConfig, default_materials
+from nbx.config import SimConfig
 from nbx.render import particles as pmod
 from nbx.render import trails as tmod
 from nbx.render.bloom import bloom

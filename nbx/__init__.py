@@ -16,3 +16,7 @@ from nbx.config import SimConfig, Materials, default_materials, ROCK, METAL, ICE
 from nbx.state import SimState, empty_state, add_body, add_bodies
 
 __version__ = "0.1.0"
+__all__ = [
+    "SimConfig", "Materials", "default_materials", "ROCK", "METAL", "ICE",
+    "SimState", "empty_state", "add_body", "add_bodies",
+]

@@ -172,6 +172,7 @@ def add_bodies_batch(
     order = jnp.lexsort((jnp.where(state.alive, state.seq, slot_idx), state.alive))
     order = order.astype(jnp.int32)
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # [B] compacted position
+    mask = mask & (rank < c)  # births beyond capacity are dropped, not aliased
     slot = jnp.where(mask, order[jnp.clip(rank, 0, c - 1)], c)  # c = dropped
     n_valid = jnp.sum(mask.astype(jnp.int32))
     n_free = jnp.sum((~state.alive).astype(jnp.int32))

@@ -134,14 +134,24 @@ def _greedy_match(cand: jax.Array, rounds: int) -> jax.Array:
 
 
 def _top_pairs(sel: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Extract up to k selected pairs in sweep order. Returns (i, j, valid)."""
+    """Extract up to k selected pairs in sweep order. Returns (i, j, valid).
+
+    `sel` comes from a matching, so each row holds at most one selected
+    column: row reductions + a rank scatter suffice — NO sort/top_k (XLA
+    sorts over the C^2 pair space dominated the whole collision substep on
+    TPU before this: ~100 ms at capacity 300, measured by ablation).
+    """
     c = sel.shape[0]
-    flat = sel.reshape(-1)
-    lin = jnp.arange(c * c, dtype=jnp.int32)
-    prio = jnp.where(flat, lin, jnp.int32(c * c))
-    neg, idx = jax.lax.top_k(-prio, k)  # k smallest priorities
-    valid = -neg < c * c
-    return idx // c, idx % c, valid
+    row_has = jnp.any(sel, axis=1)  # [C]
+    j_of = jnp.argmax(sel, axis=1).astype(jnp.int32)  # [C]
+    rank = jnp.cumsum(row_has.astype(jnp.int32)) - 1  # [C] sweep order
+    tgt = jnp.where(row_has & (rank < k), rank, k)  # k = dropped
+    ii = jnp.full((k,), c, jnp.int32).at[tgt].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop"
+    )
+    valid = ii < c
+    jj = jnp.where(valid, j_of[jnp.clip(ii, 0, c - 1)], 0)
+    return jnp.where(valid, ii, 0), jj, valid
 
 
 def resolve_collisions(

@@ -60,10 +60,11 @@ def main(n: int = 131072, n_frames: int = 120, out_dir: str = "/tmp/nbx_merger",
         pos = jnp.asarray(sc["pos"])
         vel = jnp.asarray(sc["vel"])
         mass = jnp.asarray(sc["mass"])
-        st = (pos, vel)
+        st = (pos, vel, jnp.zeros_like(pos))
 
         def advance(st):
-            return kdk_scan(st[0], st[1], mass, G, eps, h, steps_per_frame)
+            return kdk_scan(st[0], st[1], mass, G, eps, h, steps_per_frame,
+                            acc0=st[2])
 
         def render(st):
             hdr = splat_bodies_hdr(

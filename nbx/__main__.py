@@ -42,7 +42,7 @@ def main(argv=None):
     if a.cmd == "serve":
         from nbx.serve import serve
 
-        serve(a.port, scenario=a.scenario)
+        serve(a.port, scenario=a.scenario, width=a.width, height=a.height)
     elif a.cmd == "demo":
         if a.which == "galaxy":
             from examples.galaxy_demo import main as demo

@@ -22,7 +22,11 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("reps", "precision"))
-def kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str = "f32r"):
+def kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str = "f32r",
+             acc0=None):
+    """reps KDK steps under one scan. Returns (pos, vel, acc) so callers
+    stepping frame-by-frame can carry the acceleration (leapfrog continuity);
+    acc0 defaults to zeros — the reference's fresh-body convention."""
     if precision == "jnp":
         from nbx import forces
 
@@ -41,9 +45,10 @@ def kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str = "f32r"):
         v = v + a * (0.5 * h)
         return (p, v, a), None
 
-    (p, v, a), _ = jax.lax.scan(body, (pos, vel, jnp.zeros_like(pos)), None,
-                                length=reps)
-    return p, v
+    if acc0 is None:
+        acc0 = jnp.zeros_like(pos)
+    (p, v, a), _ = jax.lax.scan(body, (pos, vel, acc0), None, length=reps)
+    return p, v, a
 
 
 def step_latency_ms(n: int, reps: int = 20, precision: str | None = None) -> float:

@@ -44,9 +44,11 @@ from nbx import thermal
 from nbx.config import SimConfig, inverse_mass
 from nbx.state import SimState, add_bodies_batch
 
-RESTITUTION = 0.2  # normal restitution (index.html:328)
-FRICTION = 0.5  # tangential impulse factor (index.html:365)
-CORRECTION = 0.8  # Baumgarte position-correction factor (index.html:350)
+# Reference values (index.html:328, 365, 350); restitution and friction are
+# live-tunable via SimConfig (the constants are just the defaults there).
+RESTITUTION = 0.2
+FRICTION = 0.5
+CORRECTION = 0.8  # Baumgarte position-correction factor
 
 
 @jax.tree_util.register_dataclass
@@ -191,7 +193,7 @@ def resolve_collisions(
 
     inv_sum = inv_m[:, None] + inv_m[None, :]
     safe_inv_sum = jnp.where(inv_sum > 0, inv_sum, 1.0)
-    j_imp = -(1.0 + RESTITUTION) * vn / safe_inv_sum  # L329
+    j_imp = -(1.0 + cfg.restitution) * vn / safe_inv_sum  # L329
     m_sum = mass[:, None] + mass[None, :]
     safe_m_sum = jnp.where(m_sum > 0, m_sum, 1.0)
     mu = mass[:, None] * mass[None, :] / safe_m_sum  # L332
@@ -245,7 +247,7 @@ def resolve_collisions(
     t_len = jnp.sqrt(jnp.sum(tangent_raw * tangent_raw, axis=-1))
     # THREE.Vector3.normalize maps the zero vector to zero (length || 1).
     tangent = tangent_raw / jnp.where(t_len > 0, t_len, 1.0)[:, :, None]
-    jt = -t_len * FRICTION / safe_inv_sum  # relVel . tangent == |tangent_raw|
+    jt = -t_len * cfg.friction / safe_inv_sum  # relVel . tangent == |tangent_raw|
     imp = jnp.where(bounce, j_imp, 0.0)[:, :, None] * normal + jnp.where(
         bounce, jt, 0.0
     )[:, :, None] * tangent

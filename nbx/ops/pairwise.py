@@ -281,10 +281,18 @@ def pairwise_acc(
     # is fine). Row 3 (mass) is read by the bf16 kernel only.
     src = jnp.zeros((8, ns_p), jnp.float32).at[0:3, :ns].set(pos32.T)
     src = src.at[3, :ns].set(mass32)
-    # Mass-folded source matrix [Ns_p, 8]: m x, m y, m z, m, 0...
-    s = jnp.zeros((ns_p, 8), jnp.float32)
-    s = s.at[:ns, 0:3].set(pos32 * mass32[:, None])
-    s = s.at[:ns, 3].set(mass32)
+    # Mass-folded source matrix [Ns_p, 8]: m x, m y, m z, m, 0... — read only
+    # by the MXU kernels ('f32', 'fast'); the VPU kernels get an [8, 8] dummy
+    # so the hot path skips building and streaming it.
+    needs_s = precision in ("f32", "fast")
+    if needs_s:
+        s = jnp.zeros((ns_p, 8), jnp.float32)
+        s = s.at[:ns, 0:3].set(pos32 * mass32[:, None])
+        s = s.at[:ns, 3].set(mass32)
+        s_spec = pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    else:
+        s = jnp.zeros((8, 8), jnp.float32)
+        s_spec = pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
     g_arr = jnp.asarray([[G]], jnp.float32)
     eps2 = jnp.asarray([[jnp.square(softening)]], jnp.float32)
@@ -305,7 +313,7 @@ def pairwise_acc(
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # eps^2
             pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            s_spec,
         ],
         out_specs=pl.BlockSpec(
             (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM

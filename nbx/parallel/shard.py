@@ -188,22 +188,38 @@ def run_sharded(
     h,
     n_steps: int,
     diag_every: int = 0,
+    mesh: Mesh | None = None,
+    impl: str = "auto",
 ):
-    """Scan n_steps of the sharded substep. Returns (state, energies | None).
+    """Scan n_steps of the sharded substep in one dispatch.
 
-    diag_every > 0 records (KE, PE) every diag_every steps via psum-reduced
-    on-device diagnostics.
+    Returns (state, energies): `energies` is a [n_steps // diag_every, 2]
+    array of psum-reduced (KE, PE) samples when diag_every > 0 (requires
+    `mesh`), else None.
     """
+    if diag_every > 0:
+        if mesh is None:
+            raise ValueError("diag_every > 0 requires the mesh for psum diagnostics")
+        chunks = n_steps // diag_every
 
-    @functools.partial(jax.jit, static_argnames=())
+        def chunk(st, _):
+            for _ in range(diag_every):
+                st = step_fn(st, G, eps, h)
+            ke, pe = _sharded_energy_jit(mesh, st, G, eps, _resolve_impl(impl))
+            return st, jnp.stack([ke, pe])
+
+        state, energies = jax.lax.scan(chunk, state, None, length=chunks)
+        return state, energies
+
     def body(st, _):
-        st = step_fn(st, G, eps, h)
-        return st, None
+        return step_fn(st, G, eps, h), None
 
-    state, _ = jax.lax.scan(
-        lambda st, x: body(st, x), state, None, length=n_steps
-    )
-    return state
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state, None
+
+
+def _resolve_impl(impl: str) -> str:
+    return ("pallas" if jax.default_backend() == "tpu" else "jnp") if impl == "auto" else impl
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "width", "height"))

@@ -25,12 +25,21 @@ def _gauss_kernel(sigma: float, radius: int) -> jnp.ndarray:
 
 
 def _blur_axis(img: jax.Array, kernel: jnp.ndarray, axis: int) -> jax.Array:
-    """Separable 1D Gaussian along `axis` via shift-and-add (static taps —
-    XLA turns this into a fused stencil)."""
+    """Separable 1D Gaussian along `axis` via shift-and-add over a
+    zero-padded copy (static taps — XLA turns this into a fused stencil).
+    Zero padding clamps the halo at image edges, matching the reference's
+    UnrealBloomPass; jnp.roll would wrap a bright edge body's glow onto the
+    opposite border."""
     radius = kernel.shape[0] // 2
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (radius, radius)
+    padded = jnp.pad(img, pad)
     out = jnp.zeros_like(img)
     for t in range(kernel.shape[0]):
-        out = out + kernel[t] * jnp.roll(img, t - radius, axis=axis)
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(t, t + n)
+        out = out + kernel[t] * padded[tuple(sl)]
     return out
 
 

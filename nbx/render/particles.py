@@ -111,7 +111,7 @@ def spawn_smoke(p: ParticleState, body_pos, body_vel, radius, temp, alive
     offset inside the radius; vel = 0.1 * body vel + jitter(+-0.25);
     life 0.8-1.2, decay 0.03."""
     c = alive.shape[0]
-    key, k1, k2, k3, k4 = jax.random.split(p.key, 5)
+    key, k1, k2, k3, k4, k5 = jax.random.split(p.key, 6)
     chance = jnp.minimum(SMOKE_BASE_CHANCE + (temp - GLOW_TEMP) * SMOKE_TEMP_SLOPE, 1.0)
     hot = alive & (temp > GLOW_TEMP)
     fire = hot & (jax.random.uniform(k1, (c,)) < chance)
@@ -119,7 +119,7 @@ def spawn_smoke(p: ParticleState, body_pos, body_vel, radius, temp, alive
     offset = offset / jnp.linalg.norm(offset, axis=1, keepdims=True)
     offset = offset * (radius * jax.random.uniform(k3, (c,)))[:, None]
     jitter = (jax.random.uniform(k4, (c, 3)) - 0.5) * 0.5
-    life = 0.8 + jax.random.uniform(key, (c,)) * 0.4
+    life = 0.8 + jax.random.uniform(k5, (c,)) * 0.4
     p = dataclasses.replace(p, key=key)
     return _spawn(
         p, body_pos + offset, body_vel * 0.1 + jitter, life,

@@ -98,9 +98,12 @@ def render_and_advance(
         parts, state.pos, state.vel, radius, state.temp, state.alive
     )
 
-    # flatten substep-stacked events
+    # flatten substep-stacked events (detect stacking from the [.., M, 3]
+    # merge_pos leaf: stacked = [S, M, 3], single-substep = [M, 3])
+    stacked = events.merge_pos.ndim == 3
+
     def flat(x):
-        return x.reshape((-1,) + x.shape[2:]) if x.ndim >= 2 else x
+        return x.reshape((-1,) + x.shape[2:]) if stacked else x
 
     spawn_pos = flat(events.spawn_pos)
     spawn_mask = flat(events.spawn_mask)

@@ -164,7 +164,7 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     lit = 0.05 + 0.95 * 0.5 * (1.0 + cosang)
     emissive = jnp.clip(temp / 50.0, 0.0, 1.0)
     col = col * jnp.maximum(lit, emissive)[:, None]
-    f = (height / 2.0) / jnp.tan(jnp.deg2rad(45.0) / 2.0)
+    f = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
     app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
     # Energy ~ apparent area, floored so sub-pixel bodies stay visible
     # (the reference never lets a body vanish either — bloom pops them).

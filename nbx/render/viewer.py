@@ -54,9 +54,9 @@ def to_u8(img) -> np.ndarray:
     return (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, img) -> None:
-    """Write [H, W, 3] (float in [0,1] or u8) as PNG. Pure stdlib (zlib) —
-    no imaging dependency needed on a headless TPU host."""
+def png_bytes(img, level: int = 6) -> bytes:
+    """Encode [H, W, 3] (float in [0,1] or u8) as PNG bytes. Pure stdlib
+    (zlib) — no imaging dependency needed on a headless TPU host."""
     a = to_u8(img) if np.asarray(img).dtype != np.uint8 else np.asarray(img)
     h, w, _ = a.shape
     raw = b"".join(b"\x00" + a[i].tobytes() for i in range(h))
@@ -66,14 +66,18 @@ def write_png(path: str, img) -> None:
         return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, img, level: int = 6) -> None:
+    """Write [H, W, 3] (float in [0,1] or u8) as a PNG file."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(img, level))
 
 
 def write_frames(dirpath: str, frames, prefix: str = "frame") -> list[str]:

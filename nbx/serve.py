@@ -20,7 +20,6 @@ Usage:
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 import time
@@ -32,6 +31,7 @@ import numpy as np
 from nbx.config import SimConfig
 from nbx.interactive import Simulation
 from nbx.render.pipeline import FrameState, render_and_advance
+from nbx.render.viewer import png_bytes
 from nbx.render.splat import Camera
 
 _TUNABLE = {
@@ -80,9 +80,8 @@ class LiveSim:
                             ev, self.cam, width=self.width,
                             height=self.height,
                         )
-                        buf = io.BytesIO()
-                        _png_bytes(buf, np.asarray(img))
-                        self.frame_png = buf.getvalue()
+                        # zlib level 1: latency matters more than bytes here
+                        self.frame_png = png_bytes(np.asarray(img), level=1)
                         self.step_count += 1
                         self.error = None
             except Exception as e:  # keep serving; surface in /state
@@ -128,22 +127,6 @@ class LiveSim:
             }
 
 
-def _png_bytes(buf, img):
-    import struct
-    import zlib
-
-    a = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
-    h, w, _ = a.shape
-    raw = b"".join(b"\x00" + a[i].tobytes() for i in range(h))
-
-    def chunk(tag, data):
-        c = struct.pack(">I", len(data)) + tag + data
-        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-
-    buf.write(b"\x89PNG\r\n\x1a\n")
-    buf.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-    buf.write(chunk(b"IDAT", zlib.compress(raw, 1)))
-    buf.write(chunk(b"IEND", b""))
 
 
 _PAGE = """<!DOCTYPE html><html><head><meta charset="utf-8">
@@ -165,7 +148,7 @@ mode=mode==='view'?'add':'view';
 md.textContent=mode==='add'?'Mode: ADD (drag to spawn)':'Mode: VIEW (drag=orbit, wheel=zoom, A=add mode)';
 md.style.color=mode==='add'?'#ff9d00':'#fff';}});
 function toFrame(e){const r=v.getBoundingClientRect();
-return [ (e.clientX-r.left)/r.width*640, (e.clientY-r.top)/r.height*360 ];}
+return [ (e.clientX-r.left)/r.width*__W__, (e.clientY-r.top)/r.height*__H__ ];}
 v.addEventListener('mousedown',e=>{drag=toFrame(e);e.preventDefault();});
 addEventListener('mouseup',async e=>{if(!drag)return;const p=toFrame(e);
 if(mode==='add'){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
@@ -202,7 +185,10 @@ def make_handler(live: LiveSim):
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if u.path == "/":
-                self._send(200, _PAGE.encode(), "text/html")
+                page = _PAGE.replace("__W__", str(live.width)).replace(
+                    "__H__", str(live.height)
+                )
+                self._send(200, page.encode(), "text/html")
             elif u.path == "/frame.png":
                 self._send(200, live.frame_png or b"", "image/png")
             elif u.path == "/state":
@@ -235,8 +221,9 @@ def make_handler(live: LiveSim):
 
 
 def serve(port: int = 8000, cfg: SimConfig | None = None,
-          scenario: str = "galaxy", block: bool = True):
-    live = LiveSim(cfg, scenario).start()
+          scenario: str = "galaxy", block: bool = True,
+          width: int = 640, height: int = 360):
+    live = LiveSim(cfg, scenario, width=width, height=height).start()
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(live))
     if block:
         print(f"nbx live viewer on http://localhost:{port}")

@@ -91,7 +91,11 @@ def test_sharded_drift_short(mesh):
     step = shard.make_sharded_step(mesh, impl="jnp")
     ke0, pe0 = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
     e0 = float(ke0 + pe0)
-    st = shard.run_sharded(st, step, 0.5, 0.5, 0.005, n_steps=50)
+    st, energies = shard.run_sharded(
+        st, step, 0.5, 0.5, 0.005, n_steps=50, diag_every=25, mesh=mesh,
+        impl="jnp",
+    )
+    assert energies.shape == (2, 2)
     ke1, pe1 = shard.sharded_energy(mesh, st, 0.5, 0.5, impl="jnp")
     drift = abs(float(ke1 + pe1) - e0) / abs(e0)
     assert drift < 1e-3, f"sharded energy drift {drift}"

@@ -71,3 +71,46 @@ def relative_energy_drift(diags: Diagnostics) -> jax.Array:
     """max_t |E_t - E_0| / |E_0| over a stacked per-step Diagnostics log."""
     e = diags.kinetic + diags.potential
     return jnp.max(jnp.abs(e - e[0]) / jnp.abs(e[0]))
+
+
+def run_logged(state, cfg, n_steps: int, path: str | None = None,
+               force_impl: str = "auto"):
+    """Run n_steps with per-frame on-device diagnostics returned from the
+    scan (one dispatch, one readback), optionally writing JSONL — the
+    observability loop the reference lacks entirely (SURVEY.md section 5).
+
+    Returns (final_state, stacked Diagnostics [n_steps])."""
+    from nbx import sim as simmod
+
+    def diag(st, c):
+        return measure(st, c)
+
+    state, diags = simmod.run(state, cfg, n_steps, force_impl, diagnostics=diag)
+    if path is not None:
+        write_jsonl(path, diags)
+    return state, diags
+
+
+def write_jsonl(path: str, diags: Diagnostics) -> None:
+    """Write a stacked per-step Diagnostics log as JSONL."""
+    import json
+
+    import numpy as np
+
+    arrays = {
+        "kinetic": np.asarray(diags.kinetic),
+        "potential": np.asarray(diags.potential),
+        "momentum": np.asarray(diags.momentum),
+        "angular_momentum": np.asarray(diags.angular_momentum),
+        "total_mass": np.asarray(diags.total_mass),
+        "n_alive": np.asarray(diags.n_alive),
+        "max_temp": np.asarray(diags.max_temp),
+    }
+    n = arrays["kinetic"].shape[0]
+    with open(path, "w") as f:
+        for t in range(n):
+            rec = {"step": t}
+            for k, v in arrays.items():
+                rec[k] = v[t].tolist() if v[t].ndim else v[t].item()
+            rec["energy"] = rec["kinetic"] + rec["potential"]
+            f.write(json.dumps(rec) + "\n")

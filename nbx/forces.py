@@ -24,10 +24,12 @@ def accelerations(
     eps2 = jnp.asarray(softening, pos.dtype) ** 2
     r2 = jnp.sum(d * d, axis=-1) + eps2
     n = pos.shape[0]
-    # Guard the diagonal for eps == 0 (0^-1.5 -> inf * 0 -> nan otherwise).
-    r2 = jnp.where(jnp.eye(n, dtype=bool), 1.0, r2)
-    f = G * jax.lax.rsqrt(r2) / r2  # G / r2^(3/2) (index.html:280)
-    w = jnp.where(jnp.eye(n, dtype=bool), 0.0, f * mass[None, :])
+    # Guard zero distances for eps == 0: the diagonal, AND coincident pairs
+    # (e.g. dead capacity slots all parked at the origin) — 0^-1.5 * 0 = nan.
+    zero = (r2 <= 0.0) | jnp.eye(n, dtype=bool)
+    safe = jnp.where(zero, 1.0, r2)
+    f = G * jax.lax.rsqrt(safe) / safe  # G / r2^(3/2) (index.html:280)
+    w = jnp.where(zero, 0.0, f * mass[None, :])
     return jnp.einsum("ij,ijc->ic", w, d)
 
 
@@ -78,10 +80,10 @@ def potential_energy(
     if block is None:
         d = pos[None, :, :] - pos[:, None, :]
         r2 = jnp.sum(d * d, axis=-1) + eps2
-        r2 = jnp.where(jnp.eye(n, dtype=bool), 1.0, r2)
-        inv_r = jax.lax.rsqrt(r2)
+        zero = (r2 <= 0.0) | jnp.eye(n, dtype=bool)
+        inv_r = jax.lax.rsqrt(jnp.where(zero, 1.0, r2))
         mm = mass[:, None] * mass[None, :]
-        mm = jnp.where(jnp.eye(n, dtype=bool), 0.0, mm)
+        mm = jnp.where(zero, 0.0, mm)
         return -0.5 * G * jnp.sum(mm * inv_r)
 
     assert n % block == 0
@@ -93,9 +95,9 @@ def potential_energy(
         r2 = jnp.sum(d * d, axis=-1) + eps2
         row = jax.lax.broadcasted_iota(jnp.int32, (block, n), 0) + i0
         col = jax.lax.broadcasted_iota(jnp.int32, (block, n), 1)
-        diag = row == col
-        r2 = jnp.where(diag, 1.0, r2)
-        mm = jnp.where(diag, 0.0, mi[:, None] * mass[None, :])
+        zero = (row == col) | (r2 <= 0.0)
+        r2 = jnp.where(zero, 1.0, r2)
+        mm = jnp.where(zero, 0.0, mi[:, None] * mass[None, :])
         return jnp.sum(mm * jax.lax.rsqrt(r2))
 
     total = jnp.sum(jax.lax.map(row_block, jnp.arange(0, n, block)))

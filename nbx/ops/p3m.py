@@ -1,0 +1,226 @@
+"""P3M (particle-particle / particle-mesh) gravity — accurate AND O(N).
+
+Raw PM (nbx.ops.pm) softens forces at the grid scale (~5% median error on a
+cluster). P3M restores small-scale accuracy with the classic Ewald-style
+split of the interaction:
+
+    1/r = erf(r / a) / r   +   erfc(r / a) / r
+          \\__ long-range __/    \\__ short-range, ~0 beyond r_c = 3a __/
+
+  * LONG RANGE on the mesh: identical to the PM pipeline but with the
+    smoothed free-space Green's function  -erf(r/a)/r  (finite at r = 0),
+    so the mesh never sees structure below the smoothing scale `a` — mesh
+    aliasing errors vanish.
+  * SHORT RANGE exactly, pairwise, within the cutoff: bodies are binned
+    into cells of size r_c (one argsort per evaluation), and each cell
+    interacts with its 27-cell neighborhood through a dense masked pair
+    block — regular, vectorizable work (~N * 27 K pair evaluations for K
+    bodies/cell), chunked through lax.map to bound memory.
+
+The short-range force magnitude (d/dr of the short potential):
+
+    F_s(r) / (G m) = erfc(r/a) / r^2 + 2 / (a sqrt(pi)) * exp(-(r/a)^2) / r
+
+with Plummer softening applied by evaluating at s = sqrt(r^2 + eps^2).
+
+Accuracy: ~3e-3 median vs direct sum on quasi-uniform distributions (gated
+in tests/test_p3m.py) with mesh spacing h <= a/1.7 (i.e. g >= ~5-6 n_cells);
+cost O(N + G^3 log G).
+
+Applicability: P3M assumes bounded cell occupancy. Strongly clustered cores
+overflow max_per_cell and the overflowing bodies silently fall back to their
+mesh-only force — the overflow COUNT is always returned (no-silent-caps).
+For collisional cluster cores use the exact paths (direct-sum Pallas kernel,
+sharded direct); P3M targets the large-N quasi-uniform / cosmological-style
+regime where direct O(N^2) stops paying.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+
+from nbx.ops.pm import _cic_window, cic_deposit, cic_gather, _kvec
+
+
+def cell_bin(pos, box_size: float, n_cells: int, max_per_cell: int):
+    """Bin bodies into an [n_cells^3] grid of cubic cells.
+
+    Returns (table [C, K] body indices padded with N, counts [C],
+    n_overflow). Bodies beyond max_per_cell in a cell are dropped from the
+    SHORT-RANGE correction only (they keep their PM force); the overflow
+    count is returned so callers can size K (never silent — SURVEY.md
+    no-silent-caps rule).
+    """
+    n = pos.shape[0]
+    g = n_cells
+    h = box_size / g
+    ijk = jnp.clip((pos / h).astype(jnp.int32), 0, g - 1)
+    cid = (ijk[:, 0] * g + ijk[:, 1]) * g + ijk[:, 2]  # [N]
+    order = jnp.argsort(cid).astype(jnp.int32)
+    cid_sorted = cid[order]
+    # rank of each body within its cell
+    start_of_cell = jnp.searchsorted(cid_sorted, jnp.arange(g * g * g)).astype(
+        jnp.int32
+    )
+    rank = jnp.arange(n, dtype=jnp.int32) - start_of_cell[cid_sorted]
+    ok = rank < max_per_cell
+    table = jnp.full((g * g * g, max_per_cell), n, jnp.int32)
+    table = table.at[cid_sorted, jnp.where(ok, rank, max_per_cell)].set(
+        order, mode="drop"
+    )
+    counts = jnp.zeros((g * g * g,), jnp.int32).at[cid].add(1)
+    n_overflow = n - jnp.sum(ok.astype(jnp.int32))
+    return table, counts, n_overflow
+
+
+def _short_force_mag(s, a, G):
+    """|F|/m_j at softened distance s (see module docstring)."""
+    x = s / a
+    return G * (
+        erfc(x) / (s * s)
+        + (2.0 / (a * jnp.sqrt(jnp.pi))) * jnp.exp(-x * x) / s
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cells", "max_per_cell", "chunk")
+)
+def short_range_acc(
+    pos, mass, G, a, box_size: float, n_cells: int,
+    max_per_cell: int = 16, eps=0.0, chunk: int = 512,
+):
+    """Pairwise short-range correction within the 27-cell neighborhood.
+
+    Cell size box/n_cells must be >= the cutoff (~3a) for the neighborhood
+    to capture every interacting pair. Returns ([N, 3] acc, n_overflow).
+    """
+    n = pos.shape[0]
+    g = n_cells
+    table, counts, n_overflow = cell_bin(pos, box_size, g, max_per_cell)
+    c_total = g * g * g
+    # padded body arrays: index n = a zero-mass body parked at a far corner
+    pos_p = jnp.concatenate([pos, jnp.full((1, 3), 2.0 * box_size)], 0)
+    mass_p = jnp.concatenate([mass, jnp.zeros((1,))], 0)
+
+    # 27-neighborhood cell ids (clamped at the box faces; duplicates from
+    # clamping are harmless for the force but would double-count pairs —
+    # mask them out)
+    cc = jnp.arange(c_total, dtype=jnp.int32)
+    ci = cc // (g * g)
+    cj = (cc // g) % g
+    ck = cc % g
+    neigh = []
+    dup_mask = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for dk in (-1, 0, 1):
+                ni = jnp.clip(ci + di, 0, g - 1)
+                nj = jnp.clip(cj + dj, 0, g - 1)
+                nk = jnp.clip(ck + dk, 0, g - 1)
+                valid = (
+                    (ni == ci + di) & (nj == cj + dj) & (nk == ck + dk)
+                )
+                neigh.append((ni * g + nj) * g + nk)
+                dup_mask.append(valid)
+    neigh = jnp.stack(neigh, 1)  # [C, 27]
+    dup_mask = jnp.stack(dup_mask, 1)  # [C, 27]
+
+    k = max_per_cell
+    a32 = jnp.asarray(a, jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+
+    def cell_chunk(c0):
+        # One [chunk, K, K] pair block per neighbor offset (27 of them):
+        # memory stays O(chunk K^2) so K can grow for clustered scenes.
+        cs = c0 + jnp.arange(chunk)
+        cs = jnp.minimum(cs, c_total - 1)
+        tgt_idx = table[cs]  # [chunk, K]
+        tgt_pos = pos_p[tgt_idx]  # [chunk, K, 3]
+        acc_c = jnp.zeros((chunk, k, 3), jnp.float32)
+        for o in range(27):
+            src_idx = table[neigh[cs, o]]  # [chunk, K]
+            src_idx = jnp.where(dup_mask[cs, o][:, None], src_idx, n)
+            src_pos = pos_p[src_idx]  # [chunk, K, 3]
+            src_mass = mass_p[src_idx]  # [chunk, K]
+            d = src_pos[:, None, :, :] - tgt_pos[:, :, None, :]  # [c,K,K,3]
+            r2 = jnp.sum(d * d, -1)
+            s2 = r2 + eps2
+            s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
+            w = jnp.where(
+                (r2 > 0) & (src_mass[:, None, :] > 0),
+                _short_force_mag(s, a32, G) * src_mass[:, None, :] / s,
+                0.0,
+            )
+            acc_c = acc_c + jnp.einsum("ckj,ckjd->ckd", w, d)
+        return acc_c, tgt_idx
+
+    n_chunks = (c_total + chunk - 1) // chunk
+    accs, idxs = jax.lax.map(
+        cell_chunk, jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    )
+    acc = jnp.zeros((n + 1, 3), jnp.float32)
+    acc = acc.at[idxs.reshape(-1)].add(accs.reshape(-1, 3), mode="drop")
+    return acc[:n], n_overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "n_cells", "max_per_cell", "deconvolve"),
+)
+def p3m_acceleration(
+    pos: jax.Array,  # [N, 3] in [0, box/2)^3 (isolated convention)
+    mass: jax.Array,
+    G,
+    box_size: float,
+    g: int = 64,
+    n_cells: int = 16,
+    max_per_cell: int = 32,
+    eps=0.0,
+    deconvolve: bool = True,
+):
+    """Isolated-boundary P3M acceleration, [N, 3].
+
+    The smoothing scale is a = cell/3 with cell = box/n_cells, so the
+    short-range part vanishes (erfc(3) ~ 2e-5) beyond one cell and the
+    27-neighborhood captures everything.
+    """
+    cell = box_size / n_cells
+    a = cell / 3.0
+
+    # ---- long range: PM with the erf-smoothed free-space Green's function
+    rho = cic_deposit(pos, mass, box_size, g)
+    gp = 2 * g
+    h = box_size / g
+    rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[:g, :g, :g].set(rho)
+    idx = jnp.arange(gp)
+    d1 = jnp.minimum(idx, gp - idx).astype(jnp.float32) * h
+    rx = d1[:, None, None]
+    ry = d1[None, :, None]
+    rz = d1[None, None, :]
+    r = jnp.sqrt(rx**2 + ry**2 + rz**2)
+    # -erf(r/a)/r, finite limit -2/(a sqrt(pi)) at r = 0
+    from jax.scipy.special import erf
+
+    safe_r = jnp.where(r > 0, r, 1.0)
+    green = jnp.where(
+        r > 0, -erf(r / a) / safe_r, -2.0 / (a * jnp.sqrt(jnp.pi))
+    )
+    phi_hat = jnp.fft.fftn(rho_p) * jnp.fft.fftn(green) * G
+    kx, ky, kz, _ = _kvec(gp, 2 * box_size)
+    if deconvolve:
+        phi_hat = phi_hat / _cic_window(gp) ** 2
+    ax = jnp.real(jnp.fft.ifftn(1j * kx * phi_hat))
+    ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
+    az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
+    acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:g, :g, :g]
+    acc_long = cic_gather(acc_grid, pos, box_size, g)
+
+    # ---- short range: exact pairs within the cell neighborhood
+    acc_short, n_overflow = short_range_acc(
+        pos, mass, G, a, box_size, n_cells, max_per_cell, eps
+    )
+    return acc_long + acc_short, n_overflow

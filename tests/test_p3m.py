@@ -1,0 +1,81 @@
+"""P3M solver tests: cell binning, short-range split, accuracy vs direct."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbx import forces
+from nbx.ops.p3m import cell_bin, p3m_acceleration, short_range_acc
+
+
+def _uniform(n=2048, seed=1, box=100.0, lo=10.0, hi=40.0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    return pos, mass, box
+
+
+def test_cell_bin_roundtrip():
+    pos, mass, box = _uniform(256)
+    table, counts, ovf = cell_bin(pos, box, 8, 32)
+    t = np.asarray(table)
+    assert int(ovf) == 0
+    # every body appears exactly once
+    idx = t[t < 256]
+    assert sorted(idx.tolist()) == list(range(256))
+    assert int(counts.sum()) == 256
+
+
+def test_cell_bin_overflow_counted():
+    # 100 bodies in one point -> one cell, K=8 -> 92 overflow
+    pos = jnp.ones((100, 3)) * 5.0
+    table, counts, ovf = cell_bin(pos, 100.0, 8, 8)
+    assert int(ovf) == 92
+    assert int(counts.max()) == 100
+
+
+def test_short_range_matches_direct_within_cutoff():
+    """With a >> system size, erfc ~ 1 and the short-range term alone is the
+    full (softened) force; a tight cluster inside one cell reproduces the
+    direct sum."""
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(5.0 + rng.uniform(0, 1.5, (64, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 64), jnp.float32)
+    eps = 0.2
+    box, n_cells = 100.0, 10  # cell = 10 >> cluster extent
+    a = 1e3  # erfc(r/a) ~ 1 for all pairs
+    acc, ovf = short_range_acc(
+        pos, mass, 1.0, a, box, n_cells, max_per_cell=64, eps=eps
+    )
+    want = forces.accelerations(pos, mass, 1.0, eps)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(want), rtol=2e-3, atol=1e-4
+    )
+
+
+def test_p3m_accuracy_uniform():
+    """Quasi-uniform scene: P3M within ~1% of direct sum (PM alone is ~5%)."""
+    pos, mass, box = _uniform(2048)
+    eps = 0.1
+    direct = np.asarray(forces.accelerations_blocked(pos, mass, 1.0, eps, 1024))
+    acc, ovf = p3m_acceleration(
+        pos, mass, 1.0, box, g=128, n_cells=25, max_per_cell=32, eps=eps
+    )
+    acc = np.asarray(acc)
+    assert int(ovf) == 0
+    err = np.linalg.norm(acc - direct, axis=1) / (
+        np.linalg.norm(direct, axis=1) + 1e-9
+    )
+    assert np.median(err) < 0.01, f"median {np.median(err):.4f}"
+    assert np.percentile(err, 90) < 0.03, f"p90 {np.percentile(err, 90):.4f}"
+
+
+def test_p3m_momentum_balance():
+    pos, mass, box = _uniform(1024, seed=3)
+    acc, _ = p3m_acceleration(
+        pos, mass, 1.0, box, g=64, n_cells=16, max_per_cell=32, eps=0.1
+    )
+    acc = np.asarray(acc)
+    total = np.abs((np.asarray(mass)[:, None] * acc).sum(0)).max()
+    scale = float(np.abs(np.asarray(mass)[:, None] * acc).sum())
+    assert total < 0.02 * scale

@@ -45,7 +45,7 @@ def main():
     # (see nbx/bench/throughput.py — per-dispatch RPC timing is unreliable
     # through the remote-execution relay).
     t0 = time.time()
-    reps = 10 if backend == "tpu" else 2
+    reps = 24 if backend == "tpu" else 2
     rate, ms = measure_rate(pos, mass, g, eps, reps=reps)
     log(f"N={n}: {ms:.1f} ms/force-eval -> {rate:.3e} pairs/s "
         f"(total incl. compile {time.time() - t0:.1f}s)")

@@ -82,10 +82,7 @@ def run_logged(state, cfg, n_steps: int, path: str | None = None,
     Returns (final_state, stacked Diagnostics [n_steps])."""
     from nbx import sim as simmod
 
-    def diag(st, c):
-        return measure(st, c)
-
-    state, diags = simmod.run(state, cfg, n_steps, force_impl, diagnostics=diag)
+    state, diags = simmod.run(state, cfg, n_steps, force_impl, diagnostics=measure)
     if path is not None:
         write_jsonl(path, diags)
     return state, diags

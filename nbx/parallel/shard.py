@@ -57,7 +57,7 @@ class ShardedState(NamedTuple):
     mass: jax.Array  # [N]
 
 
-def shard_state(mesh: Mesh, pos, vel, mass, warm_start: bool = False) -> ShardedState:
+def shard_state(mesh: Mesh, pos, vel, mass) -> ShardedState:
     """Place arrays on the mesh, body axis sharded. N must divide evenly
     (pad with mass-0 bodies otherwise — they exert zero force)."""
     n = pos.shape[0]
@@ -109,8 +109,7 @@ def make_sharded_step(mesh: Mesh, impl: str = "auto"):
     Same integration semantics as the single-chip gravity path
     (nbx.integrators.kdk_step, reference index.html:247-262, collisions off).
     """
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    impl = _resolve_impl(impl)
 
     @jax.jit
     def step(state: ShardedState, G, eps, h) -> ShardedState:
@@ -142,8 +141,7 @@ def make_sharded_step_2d(mesh: Mesh, impl: str = "auto"):
     body shard, and a psum over "j" completes the Newton sum — the
     tensor-parallel analog for the force reduction.
     """
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    impl = _resolve_impl(impl)
 
     @jax.jit
     def step(state: ShardedState, G, eps, h) -> ShardedState:
@@ -270,9 +268,7 @@ def render_sharded(
 
 def sharded_energy(mesh: Mesh, state: ShardedState, G, eps, impl: str = "auto"):
     """Total (KE, PE) computed on device with psum reduction."""
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    return _sharded_energy_jit(mesh, state, G, eps, impl)
+    return _sharded_energy_jit(mesh, state, G, eps, _resolve_impl(impl))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "impl"))

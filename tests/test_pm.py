@@ -77,3 +77,13 @@ def test_pm_two_clumps_attract():
     acc = np.asarray(pm_acceleration(pos, mass, 1.0, 100.0, g=64, isolated=True))
     assert acc[:256, 0].mean() > 0  # left clump pulled right
     assert acc[256:, 0].mean() < 0
+
+
+def test_pm_kdk_scan_runs():
+    from nbx.ops.pm import pm_kdk_scan
+
+    pos, mass, box = _cluster(256, seed=5)
+    vel = jnp.zeros_like(pos)
+    p, v = pm_kdk_scan(pos, vel, mass, 1.0, box, 1e-3, 10, g=32, isolated=True)
+    assert np.isfinite(np.asarray(p)).all() and np.isfinite(np.asarray(v)).all()
+    assert np.abs(np.asarray(v)).max() > 0  # gravity actually acted

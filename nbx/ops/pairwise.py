@@ -7,19 +7,20 @@ TPU-first design (NOT a translation of the scalar JS pair loop):
 
   * The i-j interaction tile is computed as 2D [TILE_I, TILE_J] vector work:
     dx/dy/dz by broadcast-subtract between a [TILE_I, 1] target column and a
-    [1, TILE_J] source row, then one fused rsqrt^3 chain on the VPU
-    (~12 VPU ops per interaction).
-  * The force ACCUMULATION rides the MXU: with mass-folded source matrix
-    S = [m x, m y, m z, m, 0...] of shape [TILE_J, 8],
-        F @ S = [sum f m x_j, sum f m y_j, sum f m z_j, sum f m_j]
-    so acc_i = (F@S)[:, 0:3] - p_i * (F@S)[:, 3:4], a K=TILE_J matmul that
-    runs concurrently with the next tile's VPU work. This turns the
-    gather/scatter accumulation of the scalar loop into dense MXU flops.
+    [1, TILE_J] source row, then one fused rsqrt^3 chain on the VPU.
+  * DEFAULT ('f32r'): the force accumulation is a direct f32 VPU row
+    reduction of w * dx — measured both FASTEST and most accurate on v5e.
+    We also built the textbook MXU alternative ('f32': mass-folded source
+    matrix S = [m x, m y, m z, m], acc from F @ S) and measured it slower
+    AND less accurate here: Mosaic's exact-f32 matmul is a 6-pass bf16
+    emulation, and the mass-folded form is a catastrophic cancellation that
+    amplifies matmul rounding by |x|/|dx|. Both kept (with 'fast'/'bf16')
+    as the documented precision/speed study.
   * The self-interaction (i == j on the diagonal tiles) cancels EXACTLY in
-    this formulation: f_ii m_i p_i - p_i f_ii m_i = 0, finite for eps > 0 —
+    all formulations (w_ii * dx_ii = finite * 0), finite for eps > 0 —
     no diagonal masking needed (the dense jnp oracle masks instead).
-  * Padding bodies carry mass 0, so S rows vanish and they contribute zero
-    force; padded target rows compute garbage that is sliced away.
+  * Padding bodies carry mass 0, so they contribute zero force; padded
+    target rows compute garbage that is sliced away.
   * Output [TILE_I, 8] accumulates in VMEM across the j grid dimension
     (revisited block), G applied once in the j == last epilogue.
 
@@ -245,7 +246,7 @@ def pairwise_acc(
     G,
     softening,
     target_pos: jax.Array | None = None,
-    tile_i: int = 512,
+    tile_i: int = 1024,
     tile_j: int = 2048,
     precision: str = "f32r",
     interpret: bool = False,
@@ -255,8 +256,9 @@ def pairwise_acc(
     pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
     the sources). precision (errors measured vs f64 at N=4096 on v5e):
       'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (2.3e-6
-             vs f64) and fastest: 1.84e11 pairs/s at N=262k on v5e
-             (~91% of the v5e VPU's theoretical peak at 19 ops/pair)
+             vs f64) and fastest: 1.90e11 pairs/s at N=262k on v5e at tiles
+             (1024, 2048) with a 100 MB VMEM budget (~95% of the VPU's
+             theoretical peak at 19 ops/pair)
       'f32'  mass-folded MXU accumulation, 6-pass f32 matmul (1.6e-4 via
              cancellation amplification; 1.24e11 pairs/s)
       'fast' 3-pass bf16 matmul + tile centering (2.0e-3; 1.28e11 pairs/s)
@@ -326,6 +328,10 @@ def pairwise_acc(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # explicit VMEM budget: Mosaic's default rejects the (1024, 2048)
+            # tiling that measures fastest (the f32r working set fits v5e's
+            # 128 MB VMEM comfortably)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(g_arr, eps2, tgt, src, s)

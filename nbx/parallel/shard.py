@@ -178,6 +178,62 @@ def make_sharded_step_2d(mesh: Mesh, impl: str = "auto"):
     return step
 
 
+def make_sharded_step_ring(mesh: Mesh, impl: str = "auto"):
+    """Ring-systolic variant of the sharded KDK substep.
+
+    Instead of one all-gather of every position (peak comm buffer = N), the
+    source chunk rotates around the ring with `lax.ppermute`: D-1 hops of
+    N/D positions+masses each, with the local force partial computed between
+    hops — XLA overlaps the async permute with the force kernel on real ICI
+    (the systolic N-body pattern; same total bytes as the all-gather but
+    O(N/D) peak buffer and compute/comm overlap instead of a serial
+    gather-then-compute).
+
+    Bit-matches the physics of make_sharded_step up to f32 summation order
+    (chunk-major instead of source-major accumulation).
+    """
+    impl = _resolve_impl(impl)
+
+    @jax.jit
+    def step(state: ShardedState, G, eps, h) -> ShardedState:
+        def local(pos, vel, acc, mass):
+            d = jax.lax.axis_size("b")
+            vel = vel + acc * (0.5 * h)
+            pos = pos + vel * h
+
+            perm = [(i, (i + 1) % d) for i in range(d)]
+
+            def hop(k, carry):
+                acc_sum, src_pos, src_mass = carry
+                acc_sum = acc_sum + _local_acc(
+                    src_pos, src_mass, pos, G, eps, impl
+                )
+                # rotate sources to the next chip (a no-op result on the
+                # final iteration is avoided by bounding the loop at d - 1
+                # hops and adding the last chunk's force outside)
+                src_pos = jax.lax.ppermute(src_pos, "b", perm)
+                src_mass = jax.lax.ppermute(src_mass, "b", perm)
+                return acc_sum, src_pos, src_mass
+
+            acc0 = jnp.zeros_like(pos)
+            acc_sum, src_pos, src_mass = jax.lax.fori_loop(
+                0, d - 1, hop, (acc0, pos, mass)
+            )
+            acc = acc_sum + _local_acc(src_pos, src_mass, pos, G, eps, impl)
+            vel = vel + acc * (0.5 * h)
+            return pos, vel, acc
+
+        pos, vel, acc = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("b", None), P("b", None), P("b", None), P("b")),
+            out_specs=(P("b", None), P("b", None), P("b", None)),
+        )(state.pos, state.vel, state.acc, state.mass)
+        return ShardedState(pos, vel, acc, state.mass)
+
+    return step
+
+
 def run_sharded(
     state: ShardedState,
     step_fn,

@@ -105,3 +105,21 @@ def test_indivisible_n_rejected(mesh):
     pos, vel, mass = _setup(n=500)
     with pytest.raises(ValueError, match="divisible"):
         shard.shard_state(mesh, pos, vel, mass)
+
+
+def test_ring_matches_allgather(mesh):
+    """Ring-systolic step == all-gather step to f32 summation-order noise."""
+    pos, vel, mass = _setup(n=256, seed=5)
+    st1 = shard.shard_state(mesh, pos, vel, mass)
+    st2 = shard.shard_state(mesh, pos, vel, mass)
+    step1 = shard.make_sharded_step(mesh, impl="jnp")
+    step_r = shard.make_sharded_step_ring(mesh, impl="jnp")
+    for _ in range(3):
+        st1 = step1(st1, 0.5, 0.5, 0.01)
+        st2 = step_r(st2, 0.5, 0.5, 0.01)
+    np.testing.assert_allclose(
+        np.asarray(st2.pos), np.asarray(st1.pos), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.vel), np.asarray(st1.vel), rtol=1e-5, atol=1e-6
+    )

@@ -92,8 +92,40 @@ def run(
     method: str = "kdk",
     diagnostics: Callable[[PhaseState], jax.Array] | None = None,
     unroll: int = 1,
+    compensated: bool = False,
 ):
-    """Integrate n_steps under lax.scan. Returns (final_state, per-step diag)."""
+    """Integrate n_steps under lax.scan. Returns (final_state, per-step diag).
+
+    compensated=True (KDK only) uses Kahan-compensated position/velocity
+    updates: over 10^4+ steps in f32 the per-step update roundoff
+    (~1e-7 |x|) otherwise accumulates into a visible energy-drift floor
+    (measured in the Plummer gate, nbx/bench/drift.py).
+    """
+    if compensated:
+        if method != "kdk":
+            raise ValueError("compensated integration implemented for kdk only")
+
+        def kadd(x, c, dx):
+            y = dx - c
+            t = x + y
+            return t, (t - x) - y
+
+        def body(carry, _):
+            st, pc, vc = carry
+            v, vc = kadd(st.vel, vc, st.acc * (0.5 * h))
+            p, pc = kadd(st.pos, pc, v * h)
+            a = force(p)
+            v, vc = kadd(v, vc, a * (0.5 * h))
+            nxt = PhaseState(p, v, a)
+            out = diagnostics(nxt) if diagnostics is not None else None
+            return (nxt, pc, vc), out
+
+        zero = jnp.zeros_like(s.pos)
+        (s, _, _), diag = jax.lax.scan(
+            body, (s, zero, zero), None, length=n_steps, unroll=unroll
+        )
+        return s, diag
+
     stepper = STEPPERS[method]
 
     def body(carry, _):

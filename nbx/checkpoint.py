@@ -27,6 +27,48 @@ from nbx.state import SimState
 FORMAT_VERSION = 1
 
 
+def save_state_orbax(dirpath: str, state: SimState, cfg: SimConfig | None = None):
+    """Optional orbax backend (async-capable, multi-host-aware) for large
+    sharded states; the npz format remains the default. Stores the same
+    pytree; restore with load_state_orbax."""
+    import orbax.checkpoint as ocp
+
+    payload = {"state": dataclasses.asdict(state)}
+    if payload["state"].get("contact") is None:
+        payload["state"].pop("contact")
+    if cfg is not None:
+        payload["cfg"] = dataclasses.asdict(cfg)
+    ckpt = ocp.StandardCheckpointer()
+    import os
+
+    ckpt.save(os.path.abspath(dirpath), payload, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_state_orbax(dirpath: str) -> tuple[SimState, SimConfig | None]:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    payload = ckpt.restore(os.path.abspath(dirpath))
+    skw = dict(payload["state"])
+    if "contact" not in skw:
+        skw["contact"] = None
+    state = SimState(**{k: jnp.asarray(v) if v is not None else None
+                        for k, v in skw.items()})
+    cfg = None
+    if "cfg" in payload:
+        ckw = dict(payload["cfg"])
+        mats = ckw.pop("materials")
+        cfg = SimConfig(
+            materials=Materials(**{k: jnp.asarray(v) for k, v in mats.items()}),
+            **{k: (v.item() if hasattr(v, "item") and getattr(v, "ndim", 1) == 0
+                   else v) for k, v in ckw.items()},
+        )
+    return state, cfg
+
+
 def save_state(path: str, state: SimState, cfg: SimConfig | None = None) -> None:
     """Snapshot a SimState (and optionally the dynamic config) to .npz."""
     arrays = {}

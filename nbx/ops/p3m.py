@@ -224,3 +224,35 @@ def p3m_acceleration(
         pos, mass, G, a, box_size, n_cells, max_per_cell, eps
     )
     return acc_long + acc_short, n_overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "g", "n_cells", "max_per_cell"),
+)
+def p3m_kdk_scan(
+    pos, vel, mass, G, box_size: float, h, n_steps: int,
+    g: int = 64, n_cells: int = 16, max_per_cell: int = 32, eps=0.0,
+):
+    """KDK leapfrog under lax.scan with P3M forces. Returns
+    (pos, vel, max_overflow_seen) — a nonzero overflow means some bodies'
+    short-range correction was dropped on some step (size max_per_cell up)."""
+
+    def force(p):
+        return p3m_acceleration(
+            p, mass, G, box_size, g, n_cells, max_per_cell, eps
+        )
+
+    def body(c, _):
+        p, v, a, ovf = c
+        v = v + a * (0.5 * h)
+        p = p + v * h
+        a, o = force(p)
+        v = v + a * (0.5 * h)
+        return (p, v, a, jnp.maximum(ovf, o)), None
+
+    a0, o0 = force(pos)
+    (p, v, _, ovf), _ = jax.lax.scan(
+        body, (pos, vel, a0, o0), None, length=n_steps
+    )
+    return p, v, ovf

@@ -54,3 +54,18 @@ def test_version_gate(tmp_path):
     np2.savez(path, **z)
     with pytest.raises(ValueError, match="format"):
         checkpoint.load_state(path)
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    cfg, st, _ = _setup(tmp_path)
+    d = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_state_orbax(d, st, cfg)
+    st2, cfg2 = checkpoint.load_state_orbax(d)
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
+    np.testing.assert_array_equal(np.asarray(st.contact), np.asarray(st2.contact))
+    assert cfg2.G == cfg.G and cfg2.capacity == cfg.capacity
+    # resumed run matches npz-resumed run
+    a, _ = sim.step(st2, cfg2)
+    b, _ = sim.step(st, cfg)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))

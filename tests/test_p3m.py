@@ -79,3 +79,17 @@ def test_p3m_momentum_balance():
     total = np.abs((np.asarray(mass)[:, None] * acc).sum(0)).max()
     scale = float(np.abs(np.asarray(mass)[:, None] * acc).sum())
     assert total < 0.02 * scale
+
+
+def test_p3m_kdk_scan_runs():
+    from nbx.ops.p3m import p3m_kdk_scan
+
+    pos, mass, box = _uniform(512, seed=4)
+    vel = jnp.zeros_like(pos)
+    p, v, ovf = p3m_kdk_scan(
+        pos, vel, mass, 1.0, box, 1e-3, 5, g=64, n_cells=16, max_per_cell=64,
+        eps=0.1,
+    )
+    assert int(ovf) == 0
+    assert np.isfinite(np.asarray(p)).all()
+    assert np.abs(np.asarray(v)).max() > 0

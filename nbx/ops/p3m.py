@@ -136,9 +136,13 @@ def short_range_acc(
     def cell_chunk(c0):
         # One [chunk, K, K] pair block per neighbor offset (27 of them):
         # memory stays O(chunk K^2) so K can grow for clustered scenes.
-        cs = c0 + jnp.arange(chunk)
-        cs = jnp.minimum(cs, c_total - 1)
+        cs_raw = c0 + jnp.arange(chunk)
+        in_range = cs_raw < c_total
+        cs = jnp.minimum(cs_raw, c_total - 1)
         tgt_idx = table[cs]  # [chunk, K]
+        # rows past c_total would re-process the last cell and double-count
+        # its forces in the scatter-add — point them at the padding body
+        tgt_idx = jnp.where(in_range[:, None], tgt_idx, n)
         tgt_pos = pos_p[tgt_idx]  # [chunk, K, 3]
         acc_c = jnp.zeros((chunk, k, 3), jnp.float32)
         for o in range(27):

@@ -264,7 +264,7 @@ def pairwise_acc(
       'fast' 3-pass bf16 matmul + tile centering (2.0e-3; 1.28e11 pairs/s)
       'bf16' bf16-pairwise study variant (4.7e-3; 1.16e11 — BASELINE cfg 4)
     All rates measured with materialized-sync scan timing
-    (nbx/bench/throughput.py); tiles (512, 2048).
+    (nbx/bench/throughput.py); non-default variants quoted at (512, 2048).
     """
     if target_pos is None:
         target_pos = pos

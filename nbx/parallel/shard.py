@@ -251,22 +251,26 @@ def run_sharded(
     array of psum-reduced (KE, PE) samples when diag_every > 0 (requires
     `mesh`), else None.
     """
+    def body(st, _):
+        return step_fn(st, G, eps, h), None
+
     if diag_every > 0:
         if mesh is None:
             raise ValueError("diag_every > 0 requires the mesh for psum diagnostics")
         chunks = n_steps // diag_every
 
         def chunk(st, _):
-            for _ in range(diag_every):
-                st = step_fn(st, G, eps, h)
+            # inner scan keeps the traced program size independent of
+            # diag_every (a python loop would inline diag_every step copies)
+            st, _ = jax.lax.scan(body, st, None, length=diag_every)
             ke, pe = _sharded_energy_jit(mesh, st, G, eps, _resolve_impl(impl))
             return st, jnp.stack([ke, pe])
 
         state, energies = jax.lax.scan(chunk, state, None, length=chunks)
+        remainder = n_steps - chunks * diag_every
+        if remainder:
+            state, _ = jax.lax.scan(body, state, None, length=remainder)
         return state, energies
-
-    def body(st, _):
-        return step_fn(st, G, eps, h), None
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state, None

@@ -37,6 +37,7 @@ from nbx.render.splat import Camera
 _TUNABLE = {
     "G", "softening", "dt", "spawn_mass", "fracture_threshold",
     "min_fragment_mass", "merge_time", "heat_decay", "heat_to_glow",
+    "restitution", "friction",
 }
 
 

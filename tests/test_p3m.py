@@ -93,3 +93,21 @@ def test_p3m_kdk_scan_runs():
     assert int(ovf) == 0
     assert np.isfinite(np.asarray(p)).all()
     assert np.abs(np.asarray(v)).max() > 0
+
+
+def test_chunk_boundary_no_double_count():
+    """Cells beyond c_total in the final chunk must not re-add the last
+    cell's forces (regression: clamped duplicates gave 25x forces when the
+    corner cell was occupied)."""
+    rng = np.random.default_rng(9)
+    # bodies in the LAST cell of a 10^3 grid (c_total=1000, chunk=512)
+    pos = jnp.asarray(95.0 + rng.uniform(0, 4.0, (32, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 32), jnp.float32)
+    acc, ovf = short_range_acc(
+        pos, mass, 1.0, 1e3, 100.0, 10, max_per_cell=32, eps=0.2
+    )
+    want = forces.accelerations(pos, mass, 1.0, 0.2)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(want), rtol=2e-3, atol=1e-4
+    )

@@ -150,13 +150,16 @@ def _cic_window(g: int) -> jax.Array:
 def pm_kdk_scan(pos, vel, mass, G, box_size: float, h, n_steps: int,
                 g: int = 128, isolated: bool = True):
     """KDK leapfrog under lax.scan with PM forces (the scaling-path
-    integrator; same ordering semantics as the direct-sum step)."""
+    integrator; same ordering semantics as the direct-sum step). Periodic
+    runs (isolated=False) wrap the drift back into [0, box)."""
     force = lambda p: pm_acceleration(p, mass, G, box_size, g, isolated)
 
     def body(c, _):
         p, v, a = c
         v = v + a * (0.5 * h)
         p = p + v * h
+        if not isolated:
+            p = jnp.mod(p, box_size)
         a = force(p)
         v = v + a * (0.5 * h)
         return (p, v, a), None

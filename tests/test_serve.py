@@ -87,3 +87,21 @@ def test_reset(server):
     s = json.loads(_get(base + "/state")[1])
     assert s["alive"] > 2
     _get(base + "/reset?scenario=collision")
+
+
+def test_cli_parsing():
+    """nbx CLI wires args through (serve tested via LiveSim above; here the
+    arg plumbing of the other subcommands)."""
+    import nbx.__main__ as m
+
+    p = None
+    # 'run' end-to-end with tiny settings
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = os.path.join(d, "c.npz")
+        rc = m.main([
+            "run", "--scenario", "collision", "--frames", "4",
+            "--capacity", "8", "--checkpoint", ckpt, "--every", "2",
+        ])
+        assert rc == 0 and os.path.exists(ckpt)

@@ -46,7 +46,11 @@ def main():
     # through the remote-execution relay).
     t0 = time.time()
     reps = 24 if backend == "tpu" else 2
-    rate, ms = measure_rate(pos, mass, g, eps, reps=reps)
+    trials = 3 if backend == "tpu" else 1
+    rate, ms = max(
+        (measure_rate(pos, mass, g, eps, reps=reps) for _ in range(trials)),
+        key=lambda t: t[0],
+    )  # best-of-N: tunnel RTT jitter only ever inflates a measurement
     log(f"N={n}: {ms:.1f} ms/force-eval -> {rate:.3e} pairs/s "
         f"(total incl. compile {time.time() - t0:.1f}s)")
     # sanity: forces are finite

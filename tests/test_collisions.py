@@ -161,3 +161,26 @@ def test_thermal_decay_and_snap():
     st = st.replace(temp=st.temp.at[0].set(0.1000001))
     st, _ = sim.step(st, cfg)
     assert float(st.temp[0]) == 0.0  # snap below 0.1 (index.html:229)
+
+
+def test_event_overflow_counted_and_deferred():
+    """More simultaneous merge pairs than max_merges: the overflow is
+    counted in n_dropped (no-silent-caps) and the leftover pairs merge on
+    subsequent frames (contact timers persist)."""
+    cfg = SimConfig(capacity=64, G=0.0, merge_time=0.005,
+                    fracture_threshold=1e9, max_merges=4)
+    st = empty_state(cfg, 0)
+    # 12 well-separated touching pairs, gently approaching
+    for k in range(12):
+        base = jnp.array([k * 50.0, 0.0, 0.0])
+        st, _ = add_body(st, 10.0, base, jnp.array([0.05, 0, 0]), ROCK)
+        st, _ = add_body(st, 10.0, base + jnp.array([2.0, 0, 0]),
+                         jnp.array([-0.05, 0, 0]), ROCK)
+    m0 = float(st.mass.sum())
+    st, ev = sim.step(st, cfg)
+    assert int(np.asarray(ev.n_merges).sum()) <= 8  # 4 per substep max
+    assert int(np.asarray(ev.n_dropped).sum()) > 0  # overflow surfaced
+    for _ in range(10):
+        st, ev = sim.step(st, cfg)
+    assert int(st.n_alive) == 12  # every pair eventually merged
+    assert float(st.mass.sum()) == pytest.approx(m0, rel=1e-6)

@@ -137,3 +137,26 @@ def test_kdk_matches_reference_ordering():
     s2 = integrators.kdk_step(s, h, f)
     np.testing.assert_allclose(np.asarray(s2.pos), p, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s2.vel), v, rtol=1e-12)
+
+
+def test_dkd_and_symplectic_euler_conserve():
+    """The ablation variants are symplectic too: bounded energy error on the
+    Kepler problem (explicit Euler drifts monotonically by contrast)."""
+    pos, vel, mass = _kepler_setup(e=0.2)
+    G = 0.5
+    f = _force_fn(mass, G, 0.0)
+
+    def drift_of(method):
+        def energy(s):
+            return forces.kinetic_energy(s.vel, mass) + forces.potential_energy(
+                s.pos, mass, G, 0.0
+            )
+
+        s = integrators.init_phase(pos, vel, f)
+        e0 = float(energy(s))
+        _, es = integrators.run(s, 0.02, 5000, f, method=method,
+                                diagnostics=lambda st: energy(st))
+        return np.max(np.abs(np.asarray(es) - e0) / abs(e0))
+
+    assert drift_of("dkd") < 1e-4
+    assert drift_of("symplectic_euler") < 5e-3  # first order, bounded

@@ -21,12 +21,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("reps", "precision"))
-def kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str = "f32r",
+def kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str | None = None,
              acc0=None):
     """reps KDK steps under one scan. Returns (pos, vel, acc) so callers
     stepping frame-by-frame can carry the acceleration (leapfrog continuity);
-    acc0 defaults to zeros — the reference's fresh-body convention."""
+    acc0 defaults to zeros — the reference's fresh-body convention.
+    precision=None auto-selects: Pallas f32r on TPU, jnp elsewhere."""
+    if precision is None:
+        precision = "f32r" if jax.default_backend() == "tpu" else "jnp"
+    return _kdk_scan(pos, vel, mass, G, eps, h, reps, precision, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("reps", "precision"))
+def _kdk_scan(pos, vel, mass, G, eps, h, reps: int, precision: str,
+              acc0=None):
     if precision == "jnp":
         from nbx import forces
 

@@ -141,7 +141,14 @@ def _fast_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
     s_lo = (s_c - s_hi.astype(jnp.float32)).astype(bf16)
     f_hi = f.astype(bf16)
     f_lo = (f - f_hi.astype(jnp.float32)).astype(bf16)
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # explicit DEFAULT precision: bf16 operands must use the native bf16
+    # contract — a global jax_default_matmul_precision=highest (e.g. set by
+    # a test harness) would otherwise request an fp32 contract on bf16
+    # vectors, which Mosaic rejects at compile time
+    dot = lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     tmp = dot(f_hi, s_hi) + dot(f_hi, s_lo) + dot(f_lo, s_hi)
     w = tmp[:, 3:4]  # sum_j f m_j for this tile
     zero = jnp.zeros_like(w)

@@ -117,10 +117,24 @@ def main(
         file=sys.stderr,
     )
     t0 = time.time()
-    p, v, energies = drift_run(pos, vel, mass, G, eps, h, n_steps, 100, precision)
-    # materialize: block_until_ready alone is not a reliable sync through
-    # the axon relay (see nbx/bench/throughput.py)
-    e = np.asarray(energies)
+    # Host-chunked dispatches: the tunneled TPU worker dies on single
+    # dispatches beyond ~30s of device time (measured; see CLAUDE.md), so
+    # long gates run as segments carrying (pos, vel) between dispatches.
+    # Each segment re-warms acc with one extra force eval (KDK-consistent).
+    segment = 2000 if n > 20000 else n_steps
+    es = []
+    done = 0
+    while done < n_steps:
+        steps = min(segment, n_steps - done)
+        pos, vel, energies = drift_run(
+            pos, vel, mass, G, eps, h, steps, 100, precision
+        )
+        # materialize: block_until_ready alone is not a reliable sync
+        # through the axon relay (see nbx/bench/throughput.py)
+        seg = np.asarray(energies)
+        es.append(seg if done == 0 else seg[1:])  # drop repeated e0
+        done += steps
+    e = np.concatenate(es)
     wall = time.time() - t0
     drift = np.abs(e - e[0]).max() / abs(e[0])
     rate = n * n * n_steps / wall

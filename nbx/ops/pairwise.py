@@ -253,7 +253,7 @@ def pairwise_acc(
     G,
     softening,
     target_pos: jax.Array | None = None,
-    tile_i: int = 1024,
+    tile_i: int = 512,
     tile_j: int = 2048,
     precision: str = "f32r",
     interpret: bool = False,
@@ -263,9 +263,10 @@ def pairwise_acc(
     pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
     the sources). precision (errors measured vs f64 at N=4096 on v5e):
       'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (2.3e-6
-             vs f64) and fastest: 1.90e11 pairs/s at N=262k on v5e at tiles
-             (1024, 2048) with a 100 MB VMEM budget (~95% of the VPU's
-             theoretical peak at 19 ops/pair)
+             vs f64) and fastest: 1.86e11 pairs/s at N=262k on v5e at the
+             default (512, 2048) tiles (~93% of the VPU's theoretical peak
+             at 19 ops/pair; (1024, 2048) measured 1.90e11 but was present
+             in two TPU-worker crashes on long dispatches — stability wins)
       'f32'  mass-folded MXU accumulation, 6-pass f32 matmul (1.6e-4 via
              cancellation amplification; 1.24e11 pairs/s)
       'fast' 3-pass bf16 matmul + tile centering (2.0e-3; 1.28e11 pairs/s)
@@ -335,10 +336,11 @@ def pairwise_acc(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # explicit VMEM budget: Mosaic's default rejects the (1024, 2048)
-            # tiling that measures fastest (the f32r working set fits v5e's
-            # 128 MB VMEM comfortably)
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # explicit VMEM budget: Mosaic's default rejects tilings past
+            # (512, 2048); 64 MB covers the default working set with margin.
+            # (1024, 2048) at 100 MB measured ~3% faster but was present in
+            # two TPU-worker crashes on long dispatches — not the default.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(g_arr, eps2, tgt, src, s)

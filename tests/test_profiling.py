@@ -44,3 +44,16 @@ def test_nan_guard():
         with pytest.raises(FloatingPointError):
             jnp.log(jnp.float32(-1.0)) * 1.0  # produces NaN
     assert not jax.config.jax_debug_nans
+
+
+def test_trace_writes_profile(tmp_path):
+    import glob
+
+    import jax.numpy as jnp
+
+    d = str(tmp_path / "trace")
+    with profiling.trace(d):
+        _ = jnp.arange(1024.0).sum().block_until_ready()
+    files = glob.glob(d + "/**/*", recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in files if not f.endswith("/")), files

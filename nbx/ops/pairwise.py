@@ -336,11 +336,15 @@ def pairwise_acc(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # explicit VMEM budget: Mosaic's default rejects tilings past
-            # (512, 2048); 64 MB covers the default working set with margin.
-            # (1024, 2048) at 100 MB measured ~3% faster but was present in
-            # two TPU-worker crashes on long dispatches — not the default.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # An explicit VMEM budget is needed only to unlock tiles beyond
+            # Mosaic's default acceptance (~(512, 2048) for f32r); at the
+            # default tiling Mosaic's own budget pipelines best (measured:
+            # capping it cost ~12%).
+            **(
+                {"vmem_limit_bytes": 100 * 1024 * 1024}
+                if tile_i * tile_j > 512 * 2048
+                else {}
+            ),
         ),
         interpret=interpret,
     )(g_arr, eps2, tgt, src, s)

@@ -172,28 +172,48 @@ def granular_kdk_scan(
 ):
     """Granular dynamics loop: KDK gravity + binned bounces + thermal decay,
     reference substep ordering (index.html:247-262) at granular scale.
-    Returns (pos, vel, temp, total_bounces, max_overflow)."""
+    Returns (pos, vel, temp, total_bounces, max_overflow, flags) where flags
+    is a dict of surfaced contract violations (never silent):
+
+      * cell_too_small — some step had 2*max(radius) > cell size, so pairs
+        could span past the 27-neighborhood and contacts may be missed
+      * max_out_of_box — max per-step count of bodies outside [0, box)^3.
+        The binner clips escapees into boundary face cells, which degrades
+        those cells toward dense work and can overflow max_per_cell; the
+        loop itself does NOT wrap positions (the box is a binning domain,
+        not periodic space). Nonzero means grow box_size or recenter.
+    """
     from nbx import thermal
+    from nbx.ops.pm import out_of_box_count
     from nbx.sim import gravity
 
     if temp is None:
         temp = jnp.zeros_like(mass)
 
     def body(c, _):
-        p, v, a, t, nb, ovf = c
+        p, v, a, t, nb, ovf, small, oob = c
         v = v + a * (0.5 * h)
         p = p + v * h
         a = gravity(p, mass, G, eps, force_impl)
-        dp, dv, dt, n_b, n_o, _ = resolve_bounces_binned(
+        dp, dv, dt, n_b, n_o, too_small = resolve_bounces_binned(
             p, v, mass, radius, box_size, n_cells, restitution, friction,
             max_per_cell,
         )
         p, v, t = p + dp, v + dv, t + dt
         v = v + a * (0.5 * h)
         t = thermal.decay(t, heat_decay)
-        return (p, v, a, t, nb + n_b, jnp.maximum(ovf, n_o)), None
+        return (
+            p, v, a, t, nb + n_b, jnp.maximum(ovf, n_o),
+            small | too_small,
+            jnp.maximum(oob, out_of_box_count(p, box_size)),
+        ), None
 
     zero = jnp.zeros_like(pos)
-    init = (pos, vel, zero, temp, jnp.int32(0), jnp.int32(0))
-    (p, v, _, t, nb, ovf), _ = jax.lax.scan(body, init, None, length=n_steps)
-    return p, v, t, nb, ovf
+    init = (
+        pos, vel, zero, temp, jnp.int32(0), jnp.int32(0),
+        jnp.bool_(False), jnp.int32(0),
+    )
+    (p, v, _, t, nb, ovf, small, oob), _ = jax.lax.scan(
+        body, init, None, length=n_steps
+    )
+    return p, v, t, nb, ovf, {"cell_too_small": small, "max_out_of_box": oob}

@@ -95,17 +95,24 @@ class Simulation:
 
     def spawn_drag_screen(self, cam, sx0, sy0, sx1, sy1,
                           width: int = 640, height: int = 360,
-                          mass: float | None = None, mat: int = ROCK) -> bool:
+                          mass: float | None = None,
+                          mat: int = ROCK) -> tuple[bool, bool]:
         """Full reference input path: raycast two screen points onto the
         y = 0 plane (index.html:787-790) then slingshot-spawn between them.
-        No-op (returns False) if either ray misses the plane."""
+
+        Returns (spawned, evicted): spawned is False when either ray misses
+        the plane (no-op); evicted is True when the spawn FIFO-evicted the
+        oldest body to make room."""
         from nbx.render.splat import screen_to_plane
 
         p0, hit0 = screen_to_plane(cam, sx0, sy0, width, height)
         p1, hit1 = screen_to_plane(cam, sx1, sy1, width, height)
         if not (bool(hit0) and bool(hit1)):
-            return False
-        return self.spawn_drag(np.asarray(p0), np.asarray(p1), mass=mass, mat=mat)
+            return False, False
+        evicted = self.spawn_drag(
+            np.asarray(p0), np.asarray(p1), mass=mass, mat=mat
+        )
+        return True, evicted
 
     # -- observation -----------------------------------------------------------
     def bodies(self) -> dict:
@@ -156,7 +163,12 @@ class Simulation:
     def load(cls, path: str) -> "Simulation":
         state, cfg = checkpoint.load_state(path)
         obj = cls.__new__(cls)
-        obj.cfg = cfg or SimConfig(capacity=state.capacity)
+        # Fallback config must match the saved state's shape: a state from a
+        # collisions-disabled run has contact=None, and stepping it under
+        # the default collisions=True would crash (ADVICE round-1).
+        obj.cfg = cfg or SimConfig(
+            capacity=state.capacity, collisions=state.contact is not None
+        )
         obj.state = state
         obj._key = 0
         return obj

@@ -196,7 +196,8 @@ def p3m_acceleration(
     a = cell / 3.0
 
     # ---- long range: PM with the erf-smoothed free-space Green's function
-    rho = cic_deposit(pos, mass, box_size, g)
+    # (isolated boundaries: out-of-box CIC weights dropped, never wrapped)
+    rho = cic_deposit(pos, mass, box_size, g, periodic=False)
     gp = 2 * g
     h = box_size / g
     rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[:g, :g, :g].set(rho)
@@ -221,7 +222,7 @@ def p3m_acceleration(
     ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
     az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
     acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:g, :g, :g]
-    acc_long = cic_gather(acc_grid, pos, box_size, g)
+    acc_long = cic_gather(acc_grid, pos, box_size, g, periodic=False)
 
     # ---- short range: exact pairs within the cell neighborhood
     acc_short, n_overflow = short_range_acc(

@@ -35,38 +35,64 @@ def _cic_parts(pos, box_size: float, g: int):
     return i0, f
 
 
-def cic_deposit(pos, mass, box_size: float, g: int) -> jax.Array:
-    """Scatter mass to the [g, g, g] density grid (periodic CIC)."""
+def _axis_index_weight(i, w, g: int, periodic: bool):
+    """Resolve a CIC axis index/weight pair for the boundary mode.
+
+    Periodic wraps the index; isolated (non-periodic) clamps it and zeroes
+    the weight of any out-of-range contribution so mass outside [0, box)
+    never aliases to the opposite grid face (ADVICE.md round-1 medium)."""
+    if periodic:
+        return jnp.mod(i, g), w
+    valid = (i >= 0) & (i < g)
+    return jnp.clip(i, 0, g - 1), jnp.where(valid, w, 0.0)
+
+
+def cic_deposit(pos, mass, box_size: float, g: int,
+                periodic: bool = True) -> jax.Array:
+    """Scatter mass to the [g, g, g] density grid (CIC).
+
+    periodic=False drops (rather than wraps) contributions outside the
+    grid: a body fully outside [0, box)^3 deposits nothing."""
     i0, f = _cic_parts(pos, box_size, g)
     grid = jnp.zeros((g, g, g), jnp.float32)
     for dx in (0, 1):
         wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
-        ix = jnp.mod(i0[:, 0] + dx, g)
+        ix, wx = _axis_index_weight(i0[:, 0] + dx, wx, g, periodic)
         for dy in (0, 1):
             wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
-            iy = jnp.mod(i0[:, 1] + dy, g)
+            iy, wy = _axis_index_weight(i0[:, 1] + dy, wy, g, periodic)
             for dz in (0, 1):
                 wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
-                iz = jnp.mod(i0[:, 2] + dz, g)
+                iz, wz = _axis_index_weight(i0[:, 2] + dz, wz, g, periodic)
                 grid = grid.at[ix, iy, iz].add(mass * wx * wy * wz)
     return grid
 
 
-def cic_gather(field, pos, box_size: float, g: int) -> jax.Array:
-    """Gather a [g, g, g, C] grid field to the bodies ([N, C])."""
+def cic_gather(field, pos, box_size: float, g: int,
+               periodic: bool = True) -> jax.Array:
+    """Gather a [g, g, g, C] grid field to the bodies ([N, C]).
+
+    periodic=False zeroes out-of-range weights: a body fully outside
+    [0, box)^3 gathers zero field."""
     i0, f = _cic_parts(pos, box_size, g)
     out = 0.0
     for dx in (0, 1):
         wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
-        ix = jnp.mod(i0[:, 0] + dx, g)
+        ix, wx = _axis_index_weight(i0[:, 0] + dx, wx, g, periodic)
         for dy in (0, 1):
             wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
-            iy = jnp.mod(i0[:, 1] + dy, g)
+            iy, wy = _axis_index_weight(i0[:, 1] + dy, wy, g, periodic)
             for dz in (0, 1):
                 wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
-                iz = jnp.mod(i0[:, 2] + dz, g)
+                iz, wz = _axis_index_weight(i0[:, 2] + dz, wz, g, periodic)
                 out = out + field[ix, iy, iz] * (wx * wy * wz)[:, None]
     return out
+
+
+def out_of_box_count(pos, box_size: float) -> jax.Array:
+    """Number of bodies with any coordinate outside [0, box) — the PM
+    domain-contract counter (analog of the P3M overflow counter)."""
+    return jnp.sum(jnp.any((pos < 0) | (pos >= box_size), axis=-1))
 
 
 def _kvec(g: int, box_size: float):
@@ -95,7 +121,7 @@ def pm_acceleration(
     deconvolve divides out the CIC assignment window twice (deposit+gather),
     sharpening forces near the grid scale.
     """
-    rho = cic_deposit(pos, mass, box_size, g)
+    rho = cic_deposit(pos, mass, box_size, g, periodic=not isolated)
 
     if isolated:
         gp = 2 * g
@@ -131,7 +157,7 @@ def pm_acceleration(
         az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
         acc_grid = -jnp.stack([ax, ay, az], axis=-1)
 
-    return cic_gather(acc_grid, pos, box_size, g)
+    return cic_gather(acc_grid, pos, box_size, g, periodic=not isolated)
 
 
 def _cic_window(g: int) -> jax.Array:
@@ -151,7 +177,13 @@ def pm_kdk_scan(pos, vel, mass, G, box_size: float, h, n_steps: int,
                 g: int = 128, isolated: bool = True):
     """KDK leapfrog under lax.scan with PM forces (the scaling-path
     integrator; same ordering semantics as the direct-sum step). Periodic
-    runs (isolated=False) wrap the drift back into [0, box)."""
+    runs (isolated=False) wrap the drift back into [0, box).
+
+    Returns (pos, vel, max_out_of_box): the third output is the maximum
+    per-step count of bodies outside [0, box)^3 seen over the scan. For
+    isolated runs those bodies silently decouple from the PM field (CIC
+    drops them, see cic_deposit) — a nonzero count means the domain
+    contract was violated and the box should be enlarged/recentered."""
     force = lambda p: pm_acceleration(p, mass, G, box_size, g, isolated)
 
     def body(c, _):
@@ -162,9 +194,9 @@ def pm_kdk_scan(pos, vel, mass, G, box_size: float, h, n_steps: int,
             p = jnp.mod(p, box_size)
         a = force(p)
         v = v + a * (0.5 * h)
-        return (p, v, a), None
+        return (p, v, a), out_of_box_count(p, box_size)
 
-    (p, v, a), _ = jax.lax.scan(
+    (p, v, a), oob = jax.lax.scan(
         body, (pos, vel, force(pos)), None, length=n_steps
     )
-    return p, v
+    return p, v, jnp.max(oob)

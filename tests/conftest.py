@@ -18,10 +18,17 @@ Set NBX_TEST_TPU=1 to skip the re-exec and run the suite on the real chip.
 import os
 import sys
 
+def _axon_site_active() -> bool:
+    """True when the axon sitecustomize dir is still importable — it forces
+    JAX_PLATFORMS=axon at interpreter start, overriding any cpu request, so
+    JAX_PLATFORMS=cpu alone is NOT sufficient to skip the re-exec."""
+    return any("axon" in p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep))
+
+
 _NEED_REEXEC = (
     os.environ.get("_NBX_REEXECED") != "1"
     and os.environ.get("NBX_TEST_TPU") != "1"
-    and os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    and (os.environ.get("JAX_PLATFORMS", "") != "cpu" or _axon_site_active())
 )
 
 if not _NEED_REEXEC:

@@ -48,7 +48,8 @@ def test_spawn_drag_screen():
     s = Simulation(SimConfig(capacity=8, collisions=False), scenario="collision")
     cam = Camera.default()
     ok_n = s.n_alive
-    did = s.spawn_drag_screen(cam, 320, 200, 360, 200)
+    spawned, evicted = s.spawn_drag_screen(cam, 320, 200, 360, 200)
+    assert spawned and not evicted  # capacity 8, plenty of room
     assert s.n_alive == ok_n + 1
     b = s.bodies()
     # spawned on the y=0 plane with slingshot velocity opposite the drag

@@ -76,11 +76,13 @@ def test_granular_loop_runs_and_settles():
     mats = default_materials()
     radius = body_radius(mass, jnp.zeros_like(mass, dtype=jnp.int32), mats)
     ke0 = float((0.5 * mass * jnp.sum(vel * vel, 1)).sum())
-    p, v, t, nb, ovf = granular_kdk_scan(
+    p, v, t, nb, ovf, flags = granular_kdk_scan(
         pos, vel, mass, radius, 0.0, 0.5, 0.004, 100.0, 60,
         n_cells=8, max_per_cell=64, force_impl="blocked",
     )
     assert int(nb) > 0 and int(ovf) == 0
+    assert not bool(flags["cell_too_small"])
+    assert int(flags["max_out_of_box"]) == 0  # scene stays in the box
     assert np.isfinite(np.asarray(p)).all()
     ke1 = float((0.5 * mass * jnp.sum(np.asarray(v) ** 2, 1)).sum())
     assert ke1 < ke0  # inelastic bounces dissipate

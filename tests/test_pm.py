@@ -84,6 +84,46 @@ def test_pm_kdk_scan_runs():
 
     pos, mass, box = _cluster(256, seed=5)
     vel = jnp.zeros_like(pos)
-    p, v = pm_kdk_scan(pos, vel, mass, 1.0, box, 1e-3, 10, g=32, isolated=True)
+    p, v, oob = pm_kdk_scan(
+        pos, vel, mass, 1.0, box, 1e-3, 10, g=32, isolated=True
+    )
     assert np.isfinite(np.asarray(p)).all() and np.isfinite(np.asarray(v)).all()
     assert np.abs(np.asarray(v)).max() > 0  # gravity actually acted
+    assert int(oob) == 0  # cluster stays inside the box
+
+
+def test_isolated_cic_does_not_wrap():
+    """A body just outside the low box face must NOT deposit mass at the
+    opposite grid face under isolated boundaries (ADVICE round-1 medium):
+    out-of-range CIC weights are dropped, not wrapped."""
+    box, g = 100.0, 32
+    pos = jnp.array([[-0.1, 50.0, 50.0]])  # below x=0 face
+    mass = jnp.ones(1)
+    grid = np.asarray(cic_deposit(pos, mass, box, g, periodic=False))
+    assert grid[-1].sum() == 0.0  # nothing wrapped to the high-x face
+    assert 0.0 < grid.sum() < 1.0  # partial weight dropped, rest at x=0
+    # periodic mode still wraps (unchanged behavior)
+    grid_p = np.asarray(cic_deposit(pos, mass, box, g, periodic=True))
+    assert grid_p[-1].sum() > 0.0
+    np.testing.assert_allclose(grid_p.sum(), 1.0, rtol=1e-6)
+
+
+def test_isolated_out_of_box_body_decouples():
+    """A body far outside [0, box)^3 exerts ~no force on in-box bodies and
+    feels none itself (previously it acted from ~box away via the wrap)."""
+    box = 100.0
+    pos = jnp.array([[50.0, 50.0, 50.0], [99.5, 50.0, 50.0], [-300.0, 50.0, 50.0]])
+    mass = jnp.array([1.0, 1.0, 1e6])  # huge outside mass
+    acc = np.asarray(pm_acceleration(pos, mass, 1.0, box, g=32, isolated=True))
+    # outside body gathers zero field
+    np.testing.assert_allclose(acc[2], 0.0, atol=1e-12)
+    # in-box pair: forces stay at the two-body scale, not dominated by the
+    # phantom 1e6 mass (pair separation ~49.5 -> |a| ~ 4e-4)
+    assert np.abs(acc[:2]).max() < 0.1
+
+
+def test_out_of_box_count():
+    from nbx.ops.pm import out_of_box_count
+
+    pos = jnp.array([[1.0, 1, 1], [-0.1, 5, 5], [5, 100.0, 5], [99.9, 99.9, 99.9]])
+    assert int(out_of_box_count(pos, 100.0)) == 2

@@ -18,6 +18,12 @@ def main(argv=None):
 
     s = sub.add_parser("serve", help="live interactive viewer server")
     s.add_argument("--port", type=int, default=8000)
+    s.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address; endpoints are unauthenticated, pass 0.0.0.0 "
+        "only to expose deliberately",
+    )
     s.add_argument("--scenario", default="galaxy")
     s.add_argument("--width", type=int, default=640)
     s.add_argument("--height", type=int, default=360)
@@ -42,7 +48,8 @@ def main(argv=None):
     if a.cmd == "serve":
         from nbx.serve import serve
 
-        serve(a.port, scenario=a.scenario, width=a.width, height=a.height)
+        serve(a.port, scenario=a.scenario, width=a.width, height=a.height,
+              host=a.host)
     elif a.cmd == "demo":
         if a.which == "galaxy":
             from examples.galaxy_demo import main as demo

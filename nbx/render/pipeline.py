@@ -84,10 +84,14 @@ def render_and_advance(
     exposure: float = 1.5,
     use_bloom: bool = True,
     stars: jax.Array | None = None,
+    bloom_strength: float = 1.2,
+    bloom_threshold: float = 0.3,
 ):
     """One rendered frame + advanced renderer state. `events` may be a
     single-substep Events or a substep-stacked one (leaves [S, ...]).
-    Pass `stars` (from starfield_directions()) for the background field."""
+    Pass `stars` (from starfield_directions()) for the background field.
+    bloom_strength/bloom_threshold are dynamic jit args — the lil-gui
+    Visuals sliders (index.html:862-863) retune them without recompiling."""
     radius = state.radius(cfg)
     c1, c2 = cfg.materials.color1, cfg.materials.color2
 
@@ -132,6 +136,6 @@ def render_and_advance(
     if use_bloom:
         from nbx.render.bloom import bloom
 
-        hdr = bloom(hdr)
+        hdr = bloom(hdr, bloom_strength, bloom_threshold)
 
     return FrameState(trails=trails, particles=parts), tonemap(hdr, exposure)

@@ -39,6 +39,9 @@ _TUNABLE = {
     "min_fragment_mass", "merge_time", "heat_decay", "heat_to_glow",
     "restitution", "friction",
 }
+# Renderer-side live parameters (the lil-gui Visuals folder,
+# index.html:862-863) — consumed by LiveSim, not SimConfig.
+_VIEWER_TUNABLE = {"bloom_strength", "bloom_threshold", "exposure"}
 
 
 class LiveSim:
@@ -54,6 +57,10 @@ class LiveSim:
         )
         self.lock = threading.Lock()
         self.min_frame_s = 1.0 / fps
+        # Visuals sliders (reference defaults, index.html:726-728)
+        self.bloom_strength = 1.2
+        self.bloom_threshold = 0.3
+        self.exposure = 1.5
         self.frame_png: bytes = b""
         self.step_count = 0
         self.paused = False
@@ -80,6 +87,9 @@ class LiveSim:
                             self.frame_state, self.sim.state, self.sim.cfg,
                             ev, self.cam, width=self.width,
                             height=self.height,
+                            exposure=self.exposure,
+                            bloom_strength=self.bloom_strength,
+                            bloom_threshold=self.bloom_threshold,
                         )
                         # zlib level 1: latency matters more than bytes here
                         self.frame_png = png_bytes(np.asarray(img), level=1)
@@ -105,7 +115,11 @@ class LiveSim:
 
     def set_params(self, **kw):
         with self.lock:
-            self.sim.set(**kw)
+            for k in list(kw):
+                if k in _VIEWER_TUNABLE:
+                    setattr(self, k, float(kw.pop(k)))
+            if kw:
+                self.sim.set(**kw)
 
     def reset(self, scenario: str):
         with self.lock:
@@ -117,13 +131,24 @@ class LiveSim:
     def stats(self) -> dict:
         with self.lock:
             d = self.sim.measure()
+            cfg = self.sim.cfg
             return {
                 "step": self.step_count,
                 "alive": int(d.n_alive),
                 "energy": float(d.kinetic + d.potential),
                 "max_temp": float(d.max_temp),
-                "G": float(self.sim.cfg.G),
-                "dt": float(self.sim.cfg.dt),
+                "G": float(cfg.G),
+                "dt": float(cfg.dt),
+                # slider state so the GUI initializes from the server
+                "params": {
+                    "G": float(cfg.G),
+                    "dt": float(cfg.dt),
+                    "spawn_mass": float(cfg.spawn_mass),
+                    "fracture_threshold": float(cfg.fracture_threshold),
+                    "merge_time": float(cfg.merge_time),
+                    "bloom_strength": self.bloom_strength,
+                    "bloom_threshold": self.bloom_threshold,
+                },
                 "error": self.error,
             }
 
@@ -131,33 +156,99 @@ class LiveSim:
 
 
 _PAGE = """<!DOCTYPE html><html><head><meta charset="utf-8">
-<title>nbx live</title><style>body{margin:0;background:#000;color:#aaa;
-font-family:monospace;overflow:hidden}#hud{position:fixed;top:8px;left:8px}
-#mode{position:fixed;top:8px;right:8px;color:#fff}img{width:100vw;height:100vh;
-object-fit:contain;image-rendering:pixelated}</style></head><body>
-<img id="v"><div id="hud"></div><div id="mode">Mode: VIEW (drag=orbit, wheel=zoom, A=add mode)</div>
+<title>nbx live</title><style>
+body{margin:0;background:#000;color:#aaa;font-family:monospace;overflow:hidden}
+#hud{position:fixed;top:8px;left:8px;pointer-events:none}
+img{width:100vw;height:100vh;object-fit:contain;image-rendering:pixelated}
+#ov{position:fixed;left:0;top:0;width:100vw;height:100vh;pointer-events:none}
+#gui{position:fixed;top:8px;right:8px;width:230px;background:rgba(18,18,24,.88);
+border:1px solid #333;border-radius:6px;font-size:12px;user-select:none}
+#gui h3{margin:0;padding:5px 8px;background:#1d1d26;color:#ddd;cursor:pointer;
+font-size:12px;border-bottom:1px solid #333}
+.fold{padding:4px 8px 6px}.fold.closed{display:none}
+.row{display:flex;align-items:center;margin:3px 0;gap:6px}
+.row label{flex:0 0 86px;color:#9ab}
+.row input[type=range]{flex:1;accent-color:#4a7dff;height:14px}
+.row .val{flex:0 0 44px;text-align:right;color:#dde}
+.btn{display:inline-block;margin:2px 3px 2px 0;padding:3px 10px;background:#2a2a38;
+color:#cdd;border:1px solid #444;border-radius:4px;cursor:pointer}
+.btn.on{background:#4a7dff;color:#fff;border-color:#4a7dff}
+</style></head><body>
+<img id="v"><canvas id="ov"></canvas><div id="hud"></div>
+<div id="gui"></div>
 <script>
-let mode='view', drag=null;
+let mode='view', drag=null, cur=null;
 const v=document.getElementById('v'), hud=document.getElementById('hud'),
-      md=document.getElementById('mode');
+      ov=document.getElementById('ov'), gui=document.getElementById('gui');
+// ---- control panel (the lil-gui folders, index.html:847-871) ----
+const SLIDERS={
+ Physics:[['G','G',0.1,5,0.01],['dt','dt',0.001,0.05,0.001],
+          ['fracture_threshold','fracture',1,100,1],['merge_time','mergeTime',0.1,3,0.01]],
+ Interaction:[['spawn_mass','spawnMass',1,5000,1]],
+ Visuals:[['bloom_strength','bloomStr',0,3,0.01],['bloom_threshold','bloomThr',0,1,0.01]]};
+const inputs={};
+function folder(name, body){
+  const h=document.createElement('h3'); h.textContent=name;
+  const d=document.createElement('div'); d.className='fold';
+  h.onclick=()=>d.classList.toggle('closed');
+  gui.appendChild(h); gui.appendChild(d); body(d); }
+function slider(d,[key,label,min,max,step]){
+  const row=document.createElement('div'); row.className='row';
+  row.innerHTML=`<label>${label}</label><input type=range min=${min} max=${max} step=${step}><span class=val></span>`;
+  const inp=row.querySelector('input'), val=row.querySelector('.val');
+  inp.oninput=()=>{val.textContent=(+inp.value).toPrecision(3);
+    fetch(`/set?${key}=${inp.value}`);};
+  inputs[key]=(x)=>{inp.value=x; val.textContent=(+x).toPrecision(3);};
+  d.appendChild(row); }
+function button(d,label,fn,id){
+  const b=document.createElement('span'); b.className='btn'; if(id)b.id=id;
+  b.textContent=label; b.onclick=fn; d.appendChild(b); return b; }
+folder('Interaction',d=>{
+  button(d,'View',()=>setMode('view'),'bView');
+  button(d,'Add (a)',()=>setMode('add'),'bAdd');
+  SLIDERS.Interaction.forEach(s=>slider(d,s));});
+folder('Physics',d=>SLIDERS.Physics.forEach(s=>slider(d,s)));
+folder('Visuals',d=>SLIDERS.Visuals.forEach(s=>slider(d,s)));
+folder('Scenarios',d=>{
+  button(d,'Galaxy',()=>fetch('/reset?scenario=galaxy'));
+  button(d,'Collision',()=>fetch('/reset?scenario=collision'));});
+function setMode(m){mode=m;
+  document.getElementById('bView').classList.toggle('on',m==='view');
+  document.getElementById('bAdd').classList.toggle('on',m==='add');}
+setMode('view');
+addEventListener('keydown',e=>{if(e.key==='a'||e.key==='A')
+  setMode(mode==='view'?'add':'view');});
+// ---- frame poll + HUD + one-time slider sync ----
 function poll(){v.src='/frame.png?t='+Date.now();}
-setInterval(poll, 100); poll();
+setInterval(poll,100); poll();
+let synced=false;
 setInterval(async()=>{const s=await(await fetch('/state')).json();
-hud.textContent=`step ${s.step}  bodies ${s.alive}  E ${s.energy.toFixed(1)}  G ${s.G}`;},500);
-addEventListener('keydown',e=>{if(e.key==='a'||e.key==='A'){
-mode=mode==='view'?'add':'view';
-md.textContent=mode==='add'?'Mode: ADD (drag to spawn)':'Mode: VIEW (drag=orbit, wheel=zoom, A=add mode)';
-md.style.color=mode==='add'?'#ff9d00':'#fff';}});
+ hud.textContent=`step ${s.step}  bodies ${s.alive}  E ${s.energy.toFixed(1)}  G ${s.G}`
+   +(s.error?`  ERR ${s.error}`:'');
+ if(!synced&&s.params){for(const k in s.params)if(inputs[k])inputs[k](s.params[k]);
+   synced=true;}},500);
+// ---- input: orbit drag / add-mode slingshot with preview line ----
 function toFrame(e){const r=v.getBoundingClientRect();
-return [ (e.clientX-r.left)/r.width*__W__, (e.clientY-r.top)/r.height*__H__ ];}
-v.addEventListener('mousedown',e=>{drag=toFrame(e);e.preventDefault();});
+ return [(e.clientX-r.left)/r.width*__W__,(e.clientY-r.top)/r.height*__H__];}
+function drawPreview(){
+ ov.width=innerWidth; ov.height=innerHeight;
+ const c=ov.getContext('2d'); c.clearRect(0,0,ov.width,ov.height);
+ if(!drag||!cur||mode!=='add')return;
+ const r=v.getBoundingClientRect();
+ const sx=x=>r.left+x/__W__*r.width, sy=y=>r.top+y/__H__*r.height;
+ c.strokeStyle='#00ff00'; c.lineWidth=2;           /* green preview line */
+ c.beginPath(); c.moveTo(sx(drag[0]),sy(drag[1]));
+ c.lineTo(sx(cur[0]),sy(cur[1])); c.stroke();
+ c.fillStyle='#00ff00';
+ c.beginPath(); c.arc(sx(drag[0]),sy(drag[1]),3,0,7); c.fill();}
+v.addEventListener('mousedown',e=>{drag=toFrame(e);cur=drag;e.preventDefault();});
 addEventListener('mouseup',async e=>{if(!drag)return;const p=toFrame(e);
-if(mode==='add'){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
-drag=null;});
-addEventListener('mousemove',async e=>{if(!drag||mode!=='view')return;
-const p=toFrame(e);
-await fetch(`/orbit?dyaw=${(p[0]-drag[0])*0.01}&dpitch=${(p[1]-drag[1])*0.01}`);
-drag=p;});
+ if(mode==='add'){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
+ drag=null;cur=null;drawPreview();});
+addEventListener('mousemove',async e=>{if(!drag)return;const p=toFrame(e);
+ if(mode==='add'){cur=p;drawPreview();return;}
+ await fetch(`/orbit?dyaw=${(p[0]-drag[0])*0.01}&dpitch=${(p[1]-drag[1])*0.01}`);
+ drag=p;});
 addEventListener('wheel',e=>fetch(`/orbit?zoom=${Math.exp(e.deltaY*0.001)}`));
 </script></body></html>"""
 
@@ -195,11 +286,13 @@ def make_handler(live: LiveSim):
             elif u.path == "/state":
                 self._send(200, json.dumps(live.stats()).encode())
             elif u.path == "/spawn":
-                ok = live.spawn_screen(
+                spawned, evicted = live.spawn_screen(
                     float(q["sx0"]), float(q["sy0"]),
                     float(q["sx1"]), float(q["sy1"]),
                 )
-                self._send(200, json.dumps({"spawned": bool(ok) or True}).encode())
+                self._send(200, json.dumps(
+                    {"spawned": spawned, "evicted": evicted}
+                ).encode())
             elif u.path == "/orbit":
                 live.orbit(
                     float(q.get("dyaw", 0)), float(q.get("dpitch", 0)),
@@ -208,7 +301,9 @@ def make_handler(live: LiveSim):
                 self._send(200, b"{}")
             elif u.path == "/set":
                 params = {
-                    k: float(v) for k, v in q.items() if k in _TUNABLE
+                    k: float(v)
+                    for k, v in q.items()
+                    if k in _TUNABLE or k in _VIEWER_TUNABLE
                 }
                 live.set_params(**params)
                 self._send(200, json.dumps({"set": params}).encode())
@@ -223,11 +318,17 @@ def make_handler(live: LiveSim):
 
 def serve(port: int = 8000, cfg: SimConfig | None = None,
           scenario: str = "galaxy", block: bool = True,
-          width: int = 640, height: int = 360):
+          width: int = 640, height: int = 360,
+          host: str = "127.0.0.1"):
+    """Start the live viewer HTTP server.
+
+    Binds loopback-only by default — the endpoints (/set, /reset, /spawn)
+    mutate the simulation with no authentication, so remote exposure must
+    be an explicit host="0.0.0.0" opt-in (--host on the CLI)."""
     live = LiveSim(cfg, scenario, width=width, height=height).start()
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(live))
+    httpd = ThreadingHTTPServer((host, port), make_handler(live))
     if block:
-        print(f"nbx live viewer on http://localhost:{port}")
+        print(f"nbx live viewer on http://{host}:{port}")
         try:
             httpd.serve_forever()
         finally:

@@ -42,7 +42,32 @@ def test_index_page(server):
     base, _ = server
     code, body, ctype = _get(base + "/")
     assert code == 200 and ctype == "text/html"
-    assert b"Mode: VIEW" in body
+    # every lil-gui control of index.html:847-871 is present in the client
+    for control in (
+        b"'G','G',0.1,5", b"'dt','dt',0.001,0.05",
+        b"'fracture_threshold','fracture',1,100",
+        b"'merge_time','mergeTime',0.1,3",
+        b"'spawn_mass','spawnMass',1,5000",
+        b"'bloom_strength','bloomStr',0,3",
+        b"'bloom_threshold','bloomThr',0,1",
+        b"Galaxy", b"Collision",  # scenario buttons
+        b"drawPreview",  # add-mode green drag preview line (L780-820)
+    ):
+        assert control in body, control
+
+
+def test_set_viewer_params(server):
+    """bloom sliders hit LiveSim's renderer params, not SimConfig."""
+    base, live = server
+    _, body, _ = _get(base + "/set?bloom_strength=2.0&bloom_threshold=0.1")
+    assert json.loads(body)["set"] == {
+        "bloom_strength": 2.0, "bloom_threshold": 0.1,
+    }
+    assert live.bloom_strength == 2.0 and live.bloom_threshold == 0.1
+    s = json.loads(_get(base + "/state")[1])
+    assert s["params"]["bloom_strength"] == 2.0
+    assert s["params"]["spawn_mass"] == live.sim.cfg.spawn_mass
+    _get(base + "/set?bloom_strength=1.2&bloom_threshold=0.3")
 
 
 def test_frame_png(server):
@@ -67,6 +92,8 @@ def test_spawn_endpoint(server):
     before = json.loads(_get(base + "/state")[1])["alive"]
     code, body, _ = _get(base + "/spawn?sx0=80&sy0=50&sx1=90&sy1=50")
     assert code == 200
+    resp = json.loads(body)
+    assert resp["spawned"] is True and resp["evicted"] is False
     after = json.loads(_get(base + "/state")[1])["alive"]
     assert after == before + 1
 

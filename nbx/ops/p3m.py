@@ -27,12 +27,16 @@ Accuracy: ~3e-3 median vs direct sum on quasi-uniform distributions (gated
 in tests/test_p3m.py) with mesh spacing h <= a/1.7 (i.e. g >= ~5-6 n_cells);
 cost O(N + G^3 log G).
 
-Applicability: P3M assumes bounded cell occupancy. Strongly clustered cores
-overflow max_per_cell and the overflowing bodies silently fall back to their
-mesh-only force — the overflow COUNT is always returned (no-silent-caps).
-For collisional cluster cores use the exact paths (direct-sum Pallas kernel,
-sharded direct); P3M targets the large-N quasi-uniform / cosmological-style
-regime where direct O(N^2) stops paying.
+Applicability: cell occupancy is handled ADAPTIVELY. Bodies overflowing
+max_per_cell are routed through an exact residual short-range pass
+(_residual_short_acc: each overflowing body against its 27-neighborhood's
+table bodies with the reaction scattered back, plus dense
+residual-residual), so clustered cores keep full accuracy up to
+max_residual overflowing bodies per evaluation; only beyond that cap do
+corrections drop, and the returned count gates it (no-silent-caps). For
+collisional cluster cores where most bodies overflow, the exact paths
+(direct-sum Pallas kernel, sharded direct) are still the right tool; P3M
+targets the large-N regime where direct O(N^2) stops paying.
 """
 
 from __future__ import annotations
@@ -46,14 +50,14 @@ from jax.scipy.special import erfc
 from nbx.ops.pm import _cic_window, cic_deposit, cic_gather, _kvec
 
 
-def cell_bin(pos, box_size: float, n_cells: int, max_per_cell: int):
+def cell_bin_full(pos, box_size: float, n_cells: int, max_per_cell: int):
     """Bin bodies into an [n_cells^3] grid of cubic cells.
 
     Returns (table [C, K] body indices padded with N, counts [C],
-    n_overflow). Bodies beyond max_per_cell in a cell are dropped from the
-    SHORT-RANGE correction only (they keep their PM force); the overflow
-    count is returned so callers can size K (never silent — SURVEY.md
-    no-silent-caps rule).
+    n_overflow, dropped [N] bool). Bodies beyond max_per_cell in a cell are
+    dropped from the table; `dropped` marks them per body so callers can
+    route them through a residual correction (p3m_acceleration does) — the
+    overflow count is always surfaced (no-silent-caps rule).
     """
     n = pos.shape[0]
     g = n_cells
@@ -74,7 +78,30 @@ def cell_bin(pos, box_size: float, n_cells: int, max_per_cell: int):
     )
     counts = jnp.zeros((g * g * g,), jnp.int32).at[cid].add(1)
     n_overflow = n - jnp.sum(ok.astype(jnp.int32))
+    dropped = jnp.zeros((n,), bool).at[order].set(~ok)
+    return table, counts, n_overflow, dropped
+
+
+def cell_bin(pos, box_size: float, n_cells: int, max_per_cell: int):
+    """cell_bin_full without the per-body dropped mask (compat wrapper)."""
+    table, counts, n_overflow, _ = cell_bin_full(
+        pos, box_size, n_cells, max_per_cell
+    )
     return table, counts, n_overflow
+
+
+def take_rows(mask: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """First-k set rows of a [N] bool mask in index order -> (idx [k],
+    valid [k]). Rank-scatter extraction — NO sort/top_k over the body axis
+    (XLA TPU sorts were the dominant cost in the collision path before the
+    rank-scatter pattern; see nbx.collisions._top_pairs)."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (rank < k), rank, k)
+    idx = jnp.full((k,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    return jnp.minimum(idx, n - 1), idx < n
 
 
 def _short_force_mag(s, a, G):
@@ -92,15 +119,19 @@ def _short_force_mag(s, a, G):
 def short_range_acc(
     pos, mass, G, a, box_size: float, n_cells: int,
     max_per_cell: int = 16, eps=0.0, chunk: int = 512,
+    table=None, n_overflow=None,
 ):
     """Pairwise short-range correction within the 27-cell neighborhood.
 
     Cell size box/n_cells must be >= the cutoff (~3a) for the neighborhood
     to capture every interacting pair. Returns ([N, 3] acc, n_overflow).
+    Pass `table`/`n_overflow` to reuse a precomputed cell_bin
+    (p3m_acceleration does, to avoid a second argsort over N).
     """
     n = pos.shape[0]
     g = n_cells
-    table, counts, n_overflow = cell_bin(pos, box_size, g, max_per_cell)
+    if table is None:
+        table, _, n_overflow = cell_bin(pos, box_size, g, max_per_cell)
     c_total = g * g * g
     # padded body arrays: index n = a zero-mass body parked at a far corner
     pos_p = jnp.concatenate([pos, jnp.full((1, 3), 2.0 * box_size)], 0)
@@ -171,9 +202,123 @@ def short_range_acc(
     return acc[:n], n_overflow
 
 
+def _residual_short_acc(
+    pos, mass, G, a, eps, box_size: float, n_cells: int, table,
+    res_idx, res_valid, chunk: int = 256,
+):
+    """Short-range correction for bodies dropped from the cell table.
+
+    A dropped body a misses its short-range pairs in BOTH directions: a
+    never appears as target or source. This restores them exactly:
+
+      * a vs its 27-neighborhood's TABLE bodies ([M, 27K] blocks), with the
+        equal-and-opposite reaction scatter-added onto the table bodies;
+      * a vs the other dropped bodies (dense [M, M], both ordered copies
+        present so no separate reaction is needed).
+
+    Pairs beyond the neighborhood are ~0 by the erfc cutoff — the same
+    approximation the main pass makes. Cost O(M_actual (27K + M_cap)):
+    chunks past the live overflow count are skipped at runtime via
+    lax.cond, so an over-provisioned max_residual costs (almost) nothing
+    when the scene doesn't overflow. Returns an [N, 3] delta.
+    """
+    n = pos.shape[0]
+    g = n_cells
+    k = table.shape[1]
+    m = res_idx.shape[0]
+    h = box_size / g
+    a32 = jnp.asarray(a, jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+
+    pos_p = jnp.concatenate([pos, jnp.full((1, 3), 2.0 * box_size)], 0)
+    mass_p = jnp.concatenate([mass, jnp.zeros((1,))], 0)
+    ridx_p = jnp.where(res_valid, res_idx, n)
+    pr = pos_p[ridx_p]  # [M, 3]
+    mr = mass_p[ridx_p]  # [M]
+
+    # 27-neighborhood table rows per residual body
+    ijk = jnp.clip((pr / h).astype(jnp.int32), 0, g - 1)
+    neighs = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for dk in (-1, 0, 1):
+                ni = ijk[:, 0] + di
+                nj = ijk[:, 1] + dj
+                nk = ijk[:, 2] + dk
+                ok = (
+                    (ni >= 0) & (ni < g) & (nj >= 0) & (nj < g)
+                    & (nk >= 0) & (nk < g)
+                )
+                cidn = (jnp.clip(ni, 0, g - 1) * g
+                        + jnp.clip(nj, 0, g - 1)) * g + jnp.clip(nk, 0, g - 1)
+                neighs.append(jnp.where(ok & res_valid, cidn, g * g * g))
+    neigh = jnp.stack(neighs, 1)  # [M, 27]
+    table_p = jnp.concatenate(
+        [table, jnp.full((1, k), n, jnp.int32)], 0
+    )  # padded row for invalid neighbors
+
+    def w_of(d):  # [.., 3] -> short-force weight F(s)/s per pair
+        r2 = jnp.sum(d * d, -1)
+        s2 = r2 + eps2
+        s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
+        return jnp.where(r2 > 0, _short_force_mag(s, a32, G) / s, 0.0), r2
+
+    def res_chunk(m0):
+        rows = m0 + jnp.arange(chunk)
+        rows = jnp.minimum(rows, m - 1)
+        live = (m0 + jnp.arange(chunk)) < m
+        p_c = pr[rows]  # [c, 3]
+        m_c = jnp.where(live, mr[rows], 0.0)
+        src = table_p[neigh[rows]].reshape(chunk, 27 * k)  # [c, 27K]
+        sp = pos_p[src]
+        sm = mass_p[src]
+        d = sp - p_c[:, None, :]  # [c, 27K, 3]
+        w, _ = w_of(d)
+        w = w * jnp.where(live[:, None], 1.0, 0.0)
+        # residual body's acceleration from table sources
+        acc_r = jnp.einsum("ck,ckd->cd", w * sm, d)
+        # reaction on the table sources: -w * m_res * d
+        react = -(w * m_c[:, None])[..., None] * d  # [c, 27K, 3]
+        # residual-residual (both directions present across rows)
+        drr = pr[None, :, :] - p_c[:, None, :]  # [c, M, 3]
+        wrr, _ = w_of(drr)
+        wrr = wrr * jnp.where(live[:, None], 1.0, 0.0)
+        acc_r = acc_r + jnp.einsum("ck,ckd->cd", wrr * mr[None, :], drr)
+        return acc_r, react, src
+
+    n_chunks = (m + chunk - 1) // chunk
+    n_live = jnp.sum(res_valid.astype(jnp.int32))
+
+    def guarded(m0):
+        # skip chunks entirely past the live overflow count: runtime cost
+        # scales with the ACTUAL overflow, not the static max_residual cap
+        zero = (
+            jnp.zeros((chunk, 3), jnp.float32),
+            jnp.zeros((chunk, 27 * k, 3), jnp.float32),
+            jnp.full((chunk, 27 * k), n, jnp.int32),
+        )
+        return jax.lax.cond(m0 < n_live, res_chunk, lambda _: zero, m0)
+
+    acc_r, react, srcs = jax.lax.map(
+        guarded, jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    )
+    acc = jnp.zeros((n + 1, 3), jnp.float32)
+    acc = acc.at[srcs.reshape(-1)].add(react.reshape(-1, 3), mode="drop")
+    # rows beyond m were clamped to m-1: drop their duplicate residual accs
+    rows_ok = (
+        jnp.arange(n_chunks * chunk) < m
+    )[:, None]
+    acc = acc.at[
+        jnp.where(rows_ok[:, 0], ridx_p[jnp.minimum(
+            jnp.arange(n_chunks * chunk), m - 1)], n)
+    ].add(jnp.where(rows_ok, acc_r.reshape(-1, 3), 0.0), mode="drop")
+    return acc[:n]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "n_cells", "max_per_cell", "deconvolve"),
+    static_argnames=("g", "n_cells", "max_per_cell", "max_residual",
+                     "deconvolve"),
 )
 def p3m_acceleration(
     pos: jax.Array,  # [N, 3] in [0, box/2)^3 (isolated convention)
@@ -184,13 +329,29 @@ def p3m_acceleration(
     n_cells: int = 16,
     max_per_cell: int = 32,
     eps=0.0,
+    max_residual: int = 2048,
     deconvolve: bool = True,
 ):
-    """Isolated-boundary P3M acceleration, [N, 3].
+    """Isolated-boundary P3M acceleration, [N, 3]. Returns
+    (acc, n_uncorrected).
 
     The smoothing scale is a = cell/3 with cell = box/n_cells, so the
     short-range part vanishes (erfc(3) ~ 2e-5) beyond one cell and the
     27-neighborhood captures everything.
+
+    Clustered scenes that overflow max_per_cell are handled adaptively: up
+    to `max_residual` overflowing bodies get an exact residual short-range
+    pass (_residual_short_acc) instead of silently degrading to mesh-only
+    force. n_uncorrected counts bodies beyond that cap (0 = every body got
+    its full short-range term); it is the value to gate on.
+
+    Cost envelope: the residual pass is O(M * 27K + M^2) with M the
+    overflow count — the M^2 residual-residual term is DENSE (measured
+    ~1.7e9 erfc-pairs/s on v5e: M = 16k ~ 0.15 s, M = 131k ~ 10 s). Size
+    max_residual for cluster cores (tens of thousands), not for scenes
+    whose bulk overflows; if most of a 1M-body scene is inside a few cells
+    (a deep Plummer core), the uniform-cell premise is gone — raise
+    max_per_cell, shrink cells, or use the direct/tree paths instead.
     """
     cell = box_size / n_cells
     a = cell / 3.0
@@ -225,10 +386,20 @@ def p3m_acceleration(
     acc_long = cic_gather(acc_grid, pos, box_size, g, periodic=False)
 
     # ---- short range: exact pairs within the cell neighborhood
-    acc_short, n_overflow = short_range_acc(
-        pos, mass, G, a, box_size, n_cells, max_per_cell, eps
+    table, _, n_overflow, dropped = cell_bin_full(
+        pos, box_size, n_cells, max_per_cell
     )
-    return acc_long + acc_short, n_overflow
+    acc_short, _ = short_range_acc(
+        pos, mass, G, a, box_size, n_cells, max_per_cell, eps,
+        table=table, n_overflow=n_overflow,
+    )
+    # ---- adaptive residual: overflowing bodies get an exact pass ----------
+    res_idx, res_valid = take_rows(dropped, max_residual)
+    acc_res = _residual_short_acc(
+        pos, mass, G, a, eps, box_size, n_cells, table, res_idx, res_valid
+    )
+    n_uncorrected = jnp.maximum(n_overflow - max_residual, 0)
+    return acc_long + acc_short + acc_res, n_uncorrected
 
 
 @functools.partial(
@@ -240,8 +411,10 @@ def p3m_kdk_scan(
     g: int = 64, n_cells: int = 16, max_per_cell: int = 32, eps=0.0,
 ):
     """KDK leapfrog under lax.scan with P3M forces. Returns
-    (pos, vel, max_overflow_seen) — a nonzero overflow means some bodies'
-    short-range correction was dropped on some step (size max_per_cell up)."""
+    (pos, vel, max_uncorrected_seen) — nonzero means some step had more
+    than max_residual bodies overflow their cells AND exhaust the residual
+    pass, i.e. some short-range corrections were actually dropped (size
+    max_per_cell or max_residual up)."""
 
     def force(p):
         return p3m_acceleration(

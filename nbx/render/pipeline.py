@@ -72,7 +72,10 @@ def splat_starfield(
     )
 
 
-@partial(jax.jit, static_argnames=("width", "height", "use_bloom"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "use_bloom", "n_impostors"),
+)
 def render_and_advance(
     frame: FrameState,
     state,  # SimState
@@ -86,12 +89,15 @@ def render_and_advance(
     stars: jax.Array | None = None,
     bloom_strength: float = 1.2,
     bloom_threshold: float = 0.3,
+    n_impostors: int = 8,
 ):
     """One rendered frame + advanced renderer state. `events` may be a
     single-substep Events or a substep-stacked one (leaves [S, ...]).
     Pass `stars` (from starfield_directions()) for the background field.
     bloom_strength/bloom_threshold are dynamic jit args — the lil-gui
-    Visuals sliders (index.html:862-863) retune them without recompiling."""
+    Visuals sliders (index.html:862-863) retune them without recompiling.
+    n_impostors > 0 shades that many nearest bodies with the per-pixel
+    planet-surface pass (nbx.render.impostor); 0 disables it."""
     radius = state.radius(cfg)
     c1, c2 = cfg.materials.color1, cfg.materials.color2
 
@@ -124,6 +130,16 @@ def render_and_advance(
         width=width, height=height,
     )
     hdr = particles_mod.splat_particles(hdr, parts, cam, width=width, height=height)
+
+    if n_impostors > 0:
+        from nbx.render.impostor import draw_impostors
+
+        # frame counter x dt = shader time (drives the spin, L549)
+        hdr = draw_impostors(
+            hdr, state.pos, radius, state.temp, state.mat, state.alive,
+            c1, c2, cam, frame.trails.head.astype(jnp.float32) * cfg.dt,
+            width=width, height=height, n_impostors=n_impostors,
+        )
 
     flash_pos = jnp.concatenate([flat(events.merge_pos), flat(events.fracture_pos)])
     # merge flash energy = 0.5 * merged mass (L408); fracture = impact E (L358)

@@ -1,0 +1,122 @@
+"""Sphere-impostor surface pass: coverage geometry, determinism, spin,
+temperature->magma response (reference shader semantics, index.html:99-202)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbx.render.impostor import draw_impostors, surface_detail, value_noise3
+from nbx.render.splat import Camera
+
+W, H = 320, 180
+
+
+def _one_body(temp=0.0, r=5.0):
+    pos = jnp.asarray([[0.0, 0.0, 0.0]])
+    return dict(
+        pos=pos,
+        radius=jnp.asarray([r]),
+        temp=jnp.asarray([temp]),
+        mat=jnp.zeros(1, jnp.int32),
+        alive=jnp.asarray([True]),
+        color1=jnp.asarray([[0.8, 0.5, 0.3]]),
+        color2=jnp.asarray([[0.2, 0.2, 0.25]]),
+    )
+
+
+def _cam():
+    return dataclasses.replace(
+        Camera.default(), eye=jnp.asarray([0.0, 0.0, 40.0])
+    )
+
+
+def _render(body, time=0.0):
+    img = jnp.zeros((H, W, 3), jnp.float32)
+    return np.asarray(
+        draw_impostors(
+            img, body["pos"], body["radius"], body["temp"], body["mat"],
+            body["alive"], body["color1"], body["color2"], _cam(), time,
+            width=W, height=H, n_impostors=4,
+        )
+    )
+
+
+def test_noise_range_and_determinism():
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(-10, 10, (1000, 3)), jnp.float32)
+    n1 = np.asarray(value_noise3(p, 3.0))
+    n2 = np.asarray(value_noise3(p, 3.0))
+    n3 = np.asarray(value_noise3(p, 4.0))
+    assert n1.min() >= -1.0 and n1.max() <= 1.0
+    np.testing.assert_array_equal(n1, n2)  # deterministic
+    assert np.abs(n1 - n3).max() > 0.1  # seed actually matters
+    d, _ = surface_detail(p, 3.0)
+    assert np.abs(np.asarray(d)).max() <= 1.0
+
+
+def test_disc_coverage_and_opacity():
+    """The impostor covers a filled round disc of the projected radius and
+    REPLACES the buffer (opaque), leaving the outside untouched."""
+    body = _one_body(r=5.0)
+    img = jnp.full((H, W, 3), 7.0, jnp.float32)  # sentinel background
+    out = np.asarray(
+        draw_impostors(
+            img, body["pos"], body["radius"], body["temp"], body["mat"],
+            body["alive"], body["color1"], body["color2"], _cam(), 0.0,
+            width=W, height=H, n_impostors=4,
+        )
+    )
+    covered = np.any(out != 7.0, axis=-1)
+    # projected radius = r * focal / z; focal = (H/2)/tan(22.5deg)
+    pr = 5.0 * (H / 2) / np.tan(np.deg2rad(22.5)) / 40.0
+    area = covered.sum()
+    assert abs(area - np.pi * pr * pr) < 0.15 * np.pi * pr * pr, (area, pr)
+    # roughly centred and round: bounding box ~ square of side 2 pr
+    ys, xs = np.where(covered)
+    assert abs((xs.max() - xs.min()) - (ys.max() - ys.min())) <= 3
+    # untouched outside
+    assert (out[~covered] == 7.0).all()
+
+
+def test_render_deterministic_and_spin_moves_texture():
+    body = _one_body(temp=0.0)
+    a = _render(body, time=0.0)
+    b = _render(body, time=0.0)
+    np.testing.assert_array_equal(a, b)
+    c = _render(body, time=2.0)
+    cov = np.any(a > 0, -1)
+    assert np.any(a != c), "spin must move the surface texture"
+    # same coverage though — the sphere itself doesn't move
+    np.testing.assert_array_equal(cov, np.any(c > 0, -1))
+
+
+def test_magma_glow_follows_temperature():
+    """A hot body (T >= 50) shows the crack-magma emissive: much more red
+    energy than the same body cold (L188-194)."""
+    cold = _render(_one_body(temp=0.0))
+    hot = _render(_one_body(temp=100.0))
+    assert hot[..., 0].sum() > 2.0 * cold[..., 0].sum()
+    # heat color is red-dominant: red gain exceeds blue gain
+    red_gain = hot[..., 0].sum() - cold[..., 0].sum()
+    blue_gain = hot[..., 2].sum() - cold[..., 2].sum()
+    assert red_gain > blue_gain
+
+
+def test_nearest_body_wins_overlap():
+    """Two overlapping discs: the nearer body's material colors the
+    overlap region."""
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 20.0]])  # 2nd is nearer
+    body = dict(
+        pos=pos,
+        radius=jnp.asarray([5.0, 2.0]),
+        temp=jnp.zeros(2),
+        mat=jnp.asarray([0, 1], jnp.int32),
+        alive=jnp.asarray([True, True]),
+        color1=jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]),
+        color2=jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]),
+    )
+    out = _render(body)
+    # the screen centre belongs to the nearer (blue, mat 1) body
+    centre = out[H // 2, W // 2]
+    assert centre[2] > centre[0], centre

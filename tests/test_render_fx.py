@@ -34,6 +34,48 @@ def test_trail_dead_slot_invalidates():
     assert v[0].any() and not v[1].any()  # dead body's whole history cleared
 
 
+def test_by_age_head_wraparound():
+    """by_age must stay correct after the ring head wraps (head=6, L=4)."""
+    t = tmod.TrailState.create(capacity=1, length=4)
+    for k in range(6):
+        t = tmod.update(t, jnp.full((1, 3), float(k)), jnp.array([True]))
+    pos_age, valid_age = tmod.by_age(t)
+    np.testing.assert_allclose(np.asarray(pos_age[0, :, 0]), [5, 4, 3, 2])
+    assert bool(valid_age.all())
+
+
+def test_ribbon_tapers_on_screen():
+    """The ribbon is GEOMETRY now: near the head it spans multiple pixels
+    perpendicular to the motion, tapering toward the tail (L570-593)."""
+    length, r = 24, 6.0
+    t = tmod.TrailState.create(capacity=1, length=length)
+    for k in range(length):
+        # straight horizontal track through the view center
+        t = tmod.update(
+            t, jnp.asarray([[-60.0 + 5.0 * k, 0.0, 0.0]]), jnp.array([True])
+        )
+    img = jnp.zeros((180, 320, 3), jnp.float32)
+    cam = Camera.default()
+    out = np.asarray(
+        tmod.splat_trails(
+            img, t, jnp.asarray([r]), jnp.zeros(1), jnp.zeros(1, jnp.int32),
+            jnp.asarray([[1.0, 1, 1]]), jnp.asarray([[1.0, 1, 1]]), cam,
+            width=320, height=180,
+        )
+    ).sum(-1)
+    lit_cols = np.where(out.sum(0) > 0)[0]
+    assert lit_cols.size > 20  # the track crosses the screen
+    # vertical spread of lit pixels per column: head end wider than tail end
+    def spread(col):
+        rows = np.where(out[:, col] > 0)[0]
+        return rows.max() - rows.min() if rows.size else 0
+
+    head_spread = max(spread(c) for c in lit_cols[-8:])  # newest = +x side
+    tail_spread = max(spread(c) for c in lit_cols[:8])
+    assert head_spread >= 3, f"head ribbon too thin: {head_spread}px"
+    assert head_spread > tail_spread, (head_spread, tail_spread)
+
+
 def test_particle_update_and_death():
     p = pmod.ParticleState.create(pool=16)
     p = pmod.spawn_explosions(

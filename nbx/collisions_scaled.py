@@ -108,6 +108,9 @@ class ScaledEvents(NamedTuple):
     n_overflow: jax.Array  # [] i32 bodies dropped from cell binning
     n_dropped: jax.Array  # [] i32 event/fragment candidates lost to caps
     cell_too_small: jax.Array  # [] bool 2*max(r) > cell: contacts may be missed
+    touched: jax.Array  # [N] bool slots reborn this substep (merged/killed/
+    #   fragment) — NEWBORN bodies carry acc = 0 (index.html:217), so the
+    #   integrator must zero their acceleration before the second half-kick
 
 
 @functools.partial(
@@ -265,6 +268,7 @@ def resolve_collisions_scaled(
         n_overflow=n_overflow,
         n_dropped=n_dropped,
         cell_too_small=too_small,
+        touched=touched,
     )
     new_state = GranularState(
         pos=pos, vel=vel, mass=mass, mat=mat, temp=temp,
@@ -306,6 +310,10 @@ def granular_full_kdk_scan(
         st, ev = resolve_collisions_scaled(
             st, cfg, h, box_size, n_cells, max_per_cell, interpret
         )
+        # slots reborn by merge/fracture are NEWBORN: acc = 0
+        # (index.html:217) — their pre-event acc includes dead partners'
+        # pulls and would inject net momentum through the half-kick
+        acc2 = jnp.where(ev.touched[:, None], 0.0, acc2)
         st = st._replace(
             vel=st.vel + acc2 * (0.5 * h),
             temp=thermal.decay(st.temp, cfg.heat_decay),

@@ -234,6 +234,211 @@ def make_sharded_step_ring(mesh: Mesh, impl: str = "auto"):
     return step
 
 
+class ShardedBodyState(NamedTuple):
+    """Full-physics sharded state: gravity + collision fields, body axis
+    sharded over the mesh. partner/contact_t are the per-body contact
+    records of the at-scale collision semantics (nbx.collisions_scaled)."""
+
+    pos: jax.Array  # [N, 3]
+    vel: jax.Array  # [N, 3]
+    acc: jax.Array  # [N, 3]
+    mass: jax.Array  # [N] (0 = dead)
+    mat: jax.Array  # [N] i32
+    temp: jax.Array  # [N]
+    partner: jax.Array  # [N] i32 GLOBAL index of deepest partner (-1 none)
+    contact_t: jax.Array  # [N]
+
+
+def shard_body_state(mesh: Mesh, pos, vel, mass, mat=None,
+                     temp=None) -> ShardedBodyState:
+    n = pos.shape[0]
+    d = mesh.devices.size
+    if n % d:
+        raise ValueError(f"N={n} not divisible by mesh size {d}; pad with mass-0")
+    s3 = NamedSharding(mesh, P("b", None))
+    s1 = NamedSharding(mesh, P("b"))
+    put3 = lambda x: jax.device_put(jnp.asarray(x, jnp.float32), s3)
+    put1 = lambda x, dt=jnp.float32: jax.device_put(jnp.asarray(x, dt), s1)
+    return ShardedBodyState(
+        pos=put3(pos),
+        vel=put3(vel),
+        acc=put3(jnp.zeros((n, 3))),
+        mass=put1(mass),
+        mat=put1(mat if mat is not None else jnp.zeros(n), jnp.int32),
+        temp=put1(temp if temp is not None else jnp.zeros(n)),
+        partner=put1(jnp.full((n,), -1), jnp.int32),
+        contact_t=put1(jnp.zeros(n)),
+    )
+
+
+def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
+    """Sharded FULL-physics KDK substep: gravity + bounce + contact timers
+    + merges across chips. (state, h) -> (state, n_merges).
+
+    Design (docs/DESIGN.md "sharded collisions"): each chip resolves its
+    LOCAL body shard against the all-gathered global state — O(N^2/D) pair
+    work per chip, the same scaling as the force path. Event decisions are
+    made from REPLICATED data: pair quantities (vn, Q, depth) are computed
+    identically on both owners (elementwise f32 on identical gathered
+    inputs), and the mutual deepest-partner gate (nbx.collisions_scaled
+    semantics) needs only one extra all-gather of the per-body partner /
+    timer / flags — so the two owners of a merging pair reach the SAME
+    decision with no extra round trips. The lower-index slot hosts the
+    merged body (it stays on its owning chip; slot ownership is static),
+    the higher-index copy dies in place.
+
+    In scope: bounce impulses + friction + Baumgarte + impact heating +
+    thermal decay + merges. Fractures stay single-chip for now: fragments
+    need GLOBAL free-slot allocation, which is a distributed-consensus
+    problem (a psum'd per-chip free-slot census + deterministic assignment)
+    documented in docs/DESIGN.md rather than half-built here.
+
+    Pair math is dense [N/D, N] jnp (the correctness/semantics reference);
+    the production-scale path would fuse the binned Pallas kernel
+    (nbx.ops.collide) per chip with halo exchange of boundary cells.
+    """
+    from nbx.config import body_radius, inverse_mass
+
+    impl = _resolve_impl(impl)
+    mats = cfg.materials
+
+    @jax.jit
+    def step(state: ShardedBodyState, h):
+        def local(pos, vel, acc, mass, mat, temp, partner, t_prev):
+            nl = pos.shape[0]
+            me = jax.lax.axis_index("b")
+            gidx = me * nl + jnp.arange(nl, dtype=jnp.int32)  # global ids
+
+            # ---- KDK first half + gravity (as make_sharded_step) --------
+            vel = vel + acc * (0.5 * h)
+            pos = pos + vel * h
+            gather = lambda x: jax.lax.all_gather(x, "b", axis=0, tiled=True)
+            pos_g = gather(pos)
+            mass_g = gather(mass)
+            acc_new = _local_acc(pos_g, mass_g, pos, cfg.G, cfg.softening, impl)
+
+            # ---- collisions: local rows vs global columns ----------------
+            radius = body_radius(mass, mat, mats)
+            radius_g = gather(radius)
+            vel_g = gather(vel)
+            n = pos_g.shape[0]
+            col = jnp.arange(n, dtype=jnp.int32)
+
+            d = pos_g[None, :, :] - pos[:, None, :]  # [nl, N] i -> j
+            r2 = jnp.sum(d * d, axis=-1)
+            min_d = radius[:, None] + radius_g[None, :]
+            alive2 = (mass[:, None] > 0) & (mass_g[None, :] > 0)
+            distinct = gidx[:, None] != col[None, :]
+            overlap = alive2 & distinct & (r2 < min_d * min_d)
+            dist = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+            nrm = d / dist[:, :, None]
+            rv = vel_g[None, :, :] - vel[:, None, :]
+            vn = jnp.sum(rv * nrm, axis=-1)
+            appr = overlap & (vn < 0)
+
+            inv_l = inverse_mass(mass)
+            inv_g = inverse_mass(mass_g)
+            inv_sum = inv_l[:, None] + inv_g[None, :]
+            safe_is = jnp.where(inv_sum > 0, inv_sum, 1.0)
+            j_imp = jnp.where(appr, -(1 + cfg.restitution) * vn / safe_is, 0.0)
+            t_raw = rv - vn[:, :, None] * nrm
+            t_len = jnp.sqrt(jnp.sum(t_raw * t_raw, axis=-1))
+            t_hat = t_raw / jnp.where(t_len > 0, t_len, 1.0)[:, :, None]
+            jt = jnp.where(appr, -t_len * cfg.friction / safe_is, 0.0)
+            imp = j_imp[:, :, None] * nrm + jt[:, :, None] * t_hat
+            vel = vel - jnp.sum(imp, axis=1) * inv_l[:, None]
+            corr = jnp.where(appr, (min_d - dist) / safe_is * 0.8, 0.0)
+            pos = pos - jnp.sum(corr[:, :, None] * nrm, axis=1) * inv_l[:, None]
+            m_sum = mass[:, None] + mass_g[None, :]
+            safe_ms = jnp.where(m_sum > 0, m_sum, 1.0)
+            e_full = 0.5 * (mass[:, None] * mass_g[None, :] / safe_ms) * vn * vn
+            temp = temp + jnp.sum(jnp.where(appr, e_full, 0.0), 1) * inv_l * 0.2
+            n_bounce = jnp.sum(appr.astype(jnp.int32))
+
+            # ---- deepest-overlap partner + timers (collisions_scaled) ----
+            depth = jnp.where(overlap, min_d - dist, -jnp.inf)
+            best_j = jnp.argmax(depth, axis=1).astype(jnp.int32)
+            has = jnp.take_along_axis(depth, best_j[:, None], 1)[:, 0] > 0
+            atj = lambda m: jnp.take_along_axis(m, best_j[:, None], 1)[:, 0]
+            q_l = jnp.where(has, atj(e_full / safe_ms), 0.0)
+            appr_l = has & (atj(vn) < 0)
+            same = (best_j == partner) & has
+            t_new = jnp.where(has, jnp.where(same, t_prev + h, h), 0.0)
+            partner_new = jnp.where(has, best_j, -1)
+
+            # ---- merge gate from replicated decision data -----------------
+            pos2_g = gather(pos)  # post-correction values for merge math
+            vel2_g = gather(vel)
+            temp2_g = gather(temp)
+            mat_g = gather(mat)
+            partner_g = gather(partner_new)
+            t_g = gather(t_new)
+            appr_g = gather(appr_l)
+            q_g = gather(q_l)
+
+            jc = jnp.clip(partner_new, 0, n - 1)
+            mutual = has & (partner_g[jc] == gidx)
+            t_pair = jnp.minimum(t_new, t_g[jc])
+            mergeable = (
+                mutual & appr_l & appr_g[jc]
+                & (t_pair > cfg.merge_time)
+                & (q_l < cfg.fracture_threshold * 2.0)
+            )
+            primary = mergeable & (gidx < jc)  # merged body lives here
+            killed = mergeable & (gidx > jc)  # our copy dies
+
+            mj = mass_g[jc]
+            tot = mass + mj
+            safe_tot = jnp.where(tot > 0, tot, 1.0)
+            mpos = (pos * mass[:, None] + pos2_g[jc] * mj[:, None]) / safe_tot[:, None]
+            mvel = (vel * mass[:, None] + vel2_g[jc] * mj[:, None]) / safe_tot[:, None]
+            mtemp = (temp * mass + temp2_g[jc] * mj) / safe_tot
+            mmat = jnp.where(mass > mj, mat, mat_g[jc])  # heavier (L403)
+
+            pm = primary[:, None]
+            pos = jnp.where(pm, mpos, pos)
+            vel = jnp.where(pm, mvel, jnp.where(killed[:, None], 0.0, vel))
+            temp = jnp.where(primary, mtemp, jnp.where(killed, 0.0, temp))
+            mat = jnp.where(primary, mmat, mat)
+            mass = jnp.where(primary, tot, jnp.where(killed, 0.0, mass))
+            touched = primary | killed
+            partner_new = jnp.where(touched, -1, partner_new)
+            t_new = jnp.where(touched, 0.0, t_new)
+            # merged bodies are NEWBORN: acc = 0 (index.html:217), so the
+            # second half-kick skips them — the pre-merge acc includes the
+            # dead partner's pull and would inject net momentum
+            acc_new = jnp.where(touched[:, None], 0.0, acc_new)
+
+            # ---- second half-kick + thermal decay -------------------------
+            vel = vel + acc_new * (0.5 * h)
+            temp = jnp.where(mass > 0, temp * cfg.heat_decay, 0.0)
+            temp = jnp.where(temp < 0.1, 0.0, temp)  # snap (L227-230)
+            n_merges = jax.lax.psum(
+                jnp.sum(primary.astype(jnp.int32)), "b"
+            )
+            n_bounce = jax.lax.psum(n_bounce, "b") // 2
+            return (pos, vel, acc_new, mass, mat, temp, partner_new, t_new,
+                    n_merges, n_bounce)
+
+        out = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P("b", None), P("b", None), P("b", None), P("b"), P("b"),
+                P("b"), P("b"), P("b"),
+            ),
+            out_specs=(
+                P("b", None), P("b", None), P("b", None), P("b"), P("b"),
+                P("b"), P("b"), P("b"), P(), P(),
+            ),
+        )(state.pos, state.vel, state.acc, state.mass, state.mat,
+          state.temp, state.partner, state.contact_t)
+        new_state = ShardedBodyState(*out[:8])
+        return new_state, {"n_merges": out[8], "n_bounces": out[9]}
+
+    return step
+
+
 def run_sharded(
     state: ShardedState,
     step_fn,

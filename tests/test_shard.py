@@ -123,3 +123,69 @@ def test_ring_matches_allgather(mesh):
     np.testing.assert_allclose(
         np.asarray(st2.vel), np.asarray(st1.vel), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_physics_bounce_and_heat(mesh):
+    """Full-physics sharded step: a cross-shard overlapping pair bounces
+    with global momentum conserved and impact heating applied."""
+    from nbx.config import SimConfig
+
+    cfg = SimConfig(G=0.0, merge_time=1e9, fracture_threshold=1e9)
+    n = 16  # 2 bodies per shard; the pair spans shards 0 and 7
+    pos = np.full((n, 3), 500.0, np.float32)
+    pos += np.arange(n)[:, None] * 50.0  # park everyone far apart
+    pos[0] = [0.0, 0.0, 0.0]
+    pos[15] = [1.0, 0.0, 0.0]  # overlapping with body 0 (radius ~ 1.24)
+    vel = np.zeros((n, 3), np.float32)
+    vel[0, 0] = 1.0
+    vel[15, 0] = -1.0
+    mass = np.zeros(n, np.float32)
+    mass[0] = mass[15] = 8.0
+
+    st = shard.shard_body_state(mesh, pos, vel, mass)
+    step = shard.make_sharded_physics_step(mesh, cfg, impl="jnp")
+    st2, ev = step(st, 0.008)
+    assert int(ev["n_bounces"]) == 1
+    v = np.asarray(st2.vel)
+    # impulse applied symmetrically: momentum conserved, speeds reduced
+    p_tot = (np.asarray(st2.mass)[:, None] * v).sum(0)
+    np.testing.assert_allclose(p_tot, 0.0, atol=1e-4)
+    assert v[0, 0] < 1.0 and v[15, 0] > -1.0
+    assert float(np.asarray(st2.temp)[0]) > 0  # impact heating
+    # partners recorded mutually across shards
+    pn = np.asarray(st2.partner)
+    assert pn[0] == 15 and pn[15] == 0
+
+
+def test_sharded_merge_across_shards(mesh):
+    """A sustained cross-shard contact merges: the lower GLOBAL slot (on
+    chip 0) hosts the merged body, the copy on chip 7 dies, and global
+    mass/momentum are conserved — the round-1 'sharded full-physics' gap."""
+    from nbx.config import SimConfig
+
+    cfg = SimConfig(G=0.5, merge_time=0.05, fracture_threshold=1e9)
+    n = 16
+    pos = np.full((n, 3), 500.0, np.float32)
+    pos += np.arange(n)[:, None] * 50.0
+    pos[0] = [0.0, 0.0, 0.0]
+    pos[15] = [1.1, 0.0, 0.0]
+    vel = np.zeros((n, 3), np.float32)
+    mass = np.zeros(n, np.float32)
+    mass[0] = mass[15] = 8.0
+
+    st = shard.shard_body_state(mesh, pos, vel, mass)
+    step = shard.make_sharded_physics_step(mesh, cfg, impl="jnp")
+    total_merges = 0
+    for _ in range(40):  # gravity holds them together until the timer fires
+        st, ev = step(st, 0.016)
+        total_merges += int(ev["n_merges"])
+        if total_merges:
+            break
+    assert total_merges == 1, "cross-shard pair must merge"
+    m = np.asarray(st.mass)
+    np.testing.assert_allclose(m.sum(), 16.0, rtol=1e-6)
+    assert m[0] == 16.0 and m[15] == 0.0  # lower slot hosts, copy died
+    p_tot = (m[:, None] * np.asarray(st.vel)).sum(0)
+    np.testing.assert_allclose(p_tot, 0.0, atol=1e-3)
+    pn = np.asarray(st.partner)
+    assert pn[0] == -1 and float(np.asarray(st.contact_t)[0]) == 0.0

@@ -25,7 +25,7 @@ import jax.numpy as jnp
     jax.jit, static_argnames=("reps", "tile_i", "tile_j", "precision")
 )
 def chained_force_evals(
-    pos, mass, G, eps, reps: int, tile_i: int = 512, tile_j: int = 2048,
+    pos, mass, G, eps, reps: int, tile_i: int = 1024, tile_j: int = 2048,
     precision: str = "f32r",
 ):
     """reps force evaluations, each input perturbed by the previous output

@@ -197,6 +197,108 @@ def _f32r_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
         out_ref[:] = out_ref[:] * g_ref[0, 0]
 
 
+def _mxu_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """MXU-r^2 prototype (ROADMAP 'kernel headroom'): move the pair work the
+    VPU spends on dx/dy/dz + squares onto the MXU via the centered identity
+
+        r^2_ij = |p_i - c|^2 + |p_j - c|^2 - 2 (p_i - c).(p_j - c)
+
+    with c the source-tile centroid. The cross term is a [TI, 8] @ [8, TJ]
+    matmul — SMALL operands, so the 6-pass HIGHEST emulation's per-element
+    decomposition cost amortizes to ~0 per pair (unlike a [TI, TJ] operand).
+    The force accumulation sum_j w (p_j - p_i) = dot(w, P_c) - p_ic sum_j w
+    runs as a 3-pass bf16 matmul over the centered source matrix (small
+    values -> no cancellation; the 'fast' kernel's trick).
+
+    Accuracy caveat: the r^2 cancellation amplifies f32 rounding by
+    (tile_spread / dx)^2 — needs spatially ordered bodies (Morton) to be
+    competitive with f32r's 2.3e-6; measured numbers in docs/RESULTS.md.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    xj = src_ref[0:1, :]
+    yj = src_ref[1:2, :]
+    zj = src_ref[2:3, :]
+    m = src_ref[3:4, :]
+    cx = jnp.mean(xj, axis=1, keepdims=True)  # [1, 1] source-tile centroid
+    cy = jnp.mean(yj, axis=1, keepdims=True)
+    cz = jnp.mean(zj, axis=1, keepdims=True)
+    xic, yic, zic = xi - cx, yi - cy, zi - cz  # [TI, 1]
+    xjc, yjc, zjc = xj - cx, yj - cy, zj - cz  # [1, TJ]
+
+    # cross term on the MXU: A [TI, 8] (centered target coords in cols 0-2),
+    # B [8, TJ] (centered source coords in rows 0-2, zeros elsewhere)
+    zero_i = jnp.zeros_like(xic)
+    a_mat = jnp.concatenate(
+        [xic, yic, zic, zero_i, zero_i, zero_i, zero_i, zero_i], axis=1
+    )
+    zero_j = jnp.zeros_like(xjc)
+    b_mat = jnp.concatenate(
+        [xjc, yjc, zjc, zero_j, zero_j, zero_j, zero_j, zero_j], axis=0
+    )
+    cross = jnp.dot(
+        a_mat, b_mat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TI, TJ]
+    ti2 = xic * xic + yic * yic + zic * zic  # [TI, 1]
+    tj2 = xjc * xjc + yjc * yjc + zjc * zjc  # [1, TJ]
+    r2 = ti2 + tj2 - 2.0 * cross + eps2_ref[0, 0]
+    r2 = jnp.maximum(r2, eps2_ref[0, 0])  # cancellation floor
+    inv = jax.lax.rsqrt(r2)
+    w = inv * inv * inv * m  # [TI, TJ] f * m_j
+
+    # accumulation matmul: dot(w, P_c) with P_c [TJ, 8] = centered source
+    # coords + a ones column; 3-pass bf16 split of w (small relative error,
+    # no cancellation: P_c values are tile-local)
+    bf16 = jnp.bfloat16
+    w_hi = w.astype(bf16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(bf16)
+    ones_col = jnp.ones_like(s_ref[:, 0:1])
+    zc8 = jnp.zeros_like(ones_col)
+    # s_ref carries RAW source coords in cols 0-2 (see wrapper); center them
+    p_c = jnp.concatenate(
+        [
+            s_ref[:, 0:1] - cx[0, 0],
+            s_ref[:, 1:2] - cy[0, 0],
+            s_ref[:, 2:3] - cz[0, 0],
+            ones_col, zc8, zc8, zc8, zc8,
+        ],
+        axis=1,
+    )
+    p_hi = p_c.astype(bf16)
+    p_lo = (p_c - p_hi.astype(jnp.float32)).astype(bf16)
+    dot = lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    tmp = dot(w_hi, p_hi) + dot(w_hi, p_lo) + dot(w_lo, p_hi)  # [TI, 8]
+    # sum_j w (p_j - p_i) = tmp[:, 0:3] - p_ic * tmp[:, 3]
+    wsum = tmp[:, 3:4]
+    zero = jnp.zeros_like(wsum)
+    out_ref[:] += jnp.concatenate(
+        [
+            tmp[:, 0:1] - xic * wsum,
+            tmp[:, 1:2] - yic * wsum,
+            tmp[:, 2:3] - zic * wsum,
+            zero, zero, zero, zero, zero,
+        ],
+        axis=1,
+    )
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = out_ref[:] * g_ref[0, 0]
+
+
 def _bf16_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
     """bf16-pairwise variant (the precision-study configuration, BASELINE
     config 4): displacements and the force weight in bfloat16, row reduction
@@ -253,7 +355,7 @@ def pairwise_acc(
     G,
     softening,
     target_pos: jax.Array | None = None,
-    tile_i: int = 512,
+    tile_i: int = 1024,
     tile_j: int = 2048,
     precision: str = "f32r",
     interpret: bool = False,
@@ -262,15 +364,23 @@ def pairwise_acc(
 
     pos [Ns, 3], mass [Ns] -> acc at target_pos [Nt, 3] (targets default to
     the sources). precision (errors measured vs f64 at N=4096 on v5e):
-      'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (2.3e-6
-             vs f64) and fastest: 1.86e11 pairs/s at N=262k on v5e at the
-             default (512, 2048) tiles (~93% of the VPU's theoretical peak
-             at 19 ops/pair; (1024, 2048) measured 1.90e11 but was present
-             in two TPU-worker crashes on long dispatches — stability wins)
+      'f32r' exact-f32 VPU row reduction — DEFAULT: most accurate (1.6e-7
+             max component error vs f64) and fastest: 1.885e11 pairs/s at
+             N=262k on v5e at the default (1024, 2048) tiles. Round 1
+             shipped (512, 2048)/1.85e11 after two TPU-worker crashes
+             implicated the larger tile; round 2's stability probe (3
+             consecutive ~20 s dispatches + differential timing) cleared
+             it — the crashes were dispatch-length (>~30 s), which is
+             tile-independent (CLAUDE.md).
       'f32'  mass-folded MXU accumulation, 6-pass f32 matmul (1.6e-4 via
              cancellation amplification; 1.24e11 pairs/s)
       'fast' 3-pass bf16 matmul + tile centering (2.0e-3; 1.28e11 pairs/s)
       'bf16' bf16-pairwise study variant (4.7e-3; 1.16e11 — BASELINE cfg 4)
+      'mxu'  MXU-r^2 prototype — measured NEGATIVE result (round 2):
+             7.9e10 pairs/s (2.3x slower than f32r) at 1.8e-3 error; the
+             centered-square cancellation and the [TI, TJ] operand splits
+             cost more than the VPU dx chain they replace. Kept as the
+             documented study; do not use in production.
     All rates measured with materialized-sync scan timing
     (nbx/bench/throughput.py); non-default variants quoted at (512, 2048).
     """
@@ -292,13 +402,17 @@ def pairwise_acc(
     src = jnp.zeros((8, ns_p), jnp.float32).at[0:3, :ns].set(pos32.T)
     src = src.at[3, :ns].set(mass32)
     # Mass-folded source matrix [Ns_p, 8]: m x, m y, m z, m, 0... — read only
-    # by the MXU kernels ('f32', 'fast'); the VPU kernels get an [8, 8] dummy
-    # so the hot path skips building and streaming it.
-    needs_s = precision in ("f32", "fast")
+    # by the MXU kernels ('f32', 'fast'); 'mxu' instead wants RAW coords
+    # (it folds mass into w and centers in-kernel); the VPU kernels get an
+    # [8, 8] dummy so the hot path skips building and streaming it.
+    needs_s = precision in ("f32", "fast", "mxu")
     if needs_s:
         s = jnp.zeros((ns_p, 8), jnp.float32)
-        s = s.at[:ns, 0:3].set(pos32 * mass32[:, None])
-        s = s.at[:ns, 3].set(mass32)
+        if precision == "mxu":
+            s = s.at[:ns, 0:3].set(pos32)
+        else:
+            s = s.at[:ns, 0:3].set(pos32 * mass32[:, None])
+            s = s.at[:ns, 3].set(mass32)
         s_spec = pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
     else:
         s = jnp.zeros((8, 8), jnp.float32)
@@ -313,6 +427,7 @@ def pairwise_acc(
         "f32r": _f32r_acc_kernel,
         "fast": _fast_acc_kernel,
         "bf16": _bf16_acc_kernel,
+        "mxu": _mxu_acc_kernel,
     }[precision]
     flops_per_pair = 22
     out = pl.pallas_call(

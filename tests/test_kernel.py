@@ -96,3 +96,17 @@ def test_bf16_precision_budget():
     err = float(jnp.abs(got - want).max()) / scale
     assert err < 0.05, f"bf16 rel err {err}"
     assert err > 0, "bf16 path identical to f32 — cast not happening?"
+
+
+def test_mxu_precision_budget():
+    """MXU-r^2 prototype variant stays within its documented error budget
+    (r^2 cancellation + bf16-split accumulation; docs/RESULTS.md round 2)."""
+    pos, mass = _rand(300, 7)
+    want = forces.accelerations(pos, mass, 0.5, 0.5)
+    got = pairwise_acc(
+        pos, mass, 0.5, 0.5, tile_i=8, tile_j=128, precision="mxu",
+        interpret=True,
+    )
+    scale = float(jnp.abs(want).max())
+    err = float(jnp.abs(got - want).max()) / scale
+    assert err < 0.02, f"mxu rel err {err}"

@@ -77,3 +77,40 @@ def test_compiled_rectangular_shard_path():
     got = pairwise_acc(pos, mass, 0.5, 0.5, target_pos=tgt)
     err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
     assert err < 1e-5
+
+
+def test_compiled_collision_kernel_matches_interpret():
+    """The fused binned-collision kernel's compiled Mosaic output must match
+    interpret mode (measured bit-exact on v5e round 2)."""
+    from nbx.config import body_radius, default_materials
+    from nbx.ops.collide import binned_collision_pass
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(20, 50, (96, 3)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (96, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(5.0, 20.0, 96), jnp.float32)
+    radius = body_radius(mass, jnp.zeros(96, jnp.int32), default_materials())
+    out_c = binned_collision_pass(pos, vel, mass, radius, 100.0, 8,
+                                  max_per_cell=64, interpret=False)
+    out_i = binned_collision_pass(pos, vel, mass, radius, 100.0, 8,
+                                  max_per_cell=64, interpret=True)
+    for c, i, name in ((out_c[0], out_i[0], "dvel"),
+                       (out_c[1], out_i[1], "dpos"),
+                       (out_c[2], out_i[2], "dtemp")):
+        err = float(jnp.abs(c - i).max()) / (float(jnp.abs(i).max()) + 1e-12)
+        assert err < 1e-5, (name, err)
+    assert (np.asarray(out_c[3]["j"]) == np.asarray(out_i[3]["j"])).all()
+    assert int(out_c[4]) == int(out_i[4])  # bounce counts
+
+
+def test_compiled_mxu_variant_error():
+    """MXU-r^2 prototype: looser gate (r^2 cancellation + bf16 split self
+    term; see docs/RESULTS.md round-2 'kernel headroom' numbers)."""
+    from nbx import forces
+    from nbx.ops.pairwise import pairwise_acc
+
+    pos, mass = _rand(2048, seed=4)
+    want = forces.accelerations_blocked(pos, mass, 0.5, 0.5, 1024)
+    got = pairwise_acc(pos, mass, 0.5, 0.5, precision="mxu")
+    err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+    assert err < 2e-2, f"compiled mxu error {err}"

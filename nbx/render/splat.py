@@ -39,6 +39,21 @@ class Camera:
             up=jnp.array([0.0, 1.0, 0.0]),
         )
 
+    def pan(self, dx: float = 0.0, dy: float = 0.0) -> "Camera":
+        """OrbitControls-style pan (index.html:721: right=pan): translate
+        eye AND target along the view plane's right/up axes, scaled by the
+        orbit radius so a drag moves the scene a view-proportional amount."""
+        rel = self.eye - self.target
+        r = jnp.linalg.norm(rel)
+        fwd = -rel / r
+        right = jnp.cross(fwd, self.up)
+        right = right / jnp.linalg.norm(right)
+        up = jnp.cross(right, fwd)
+        shift = (right * dx + up * dy) * r
+        return dataclasses.replace(
+            self, eye=self.eye + shift, target=self.target + shift
+        )
+
     def orbit(self, d_yaw: float = 0.0, d_pitch: float = 0.0,
               zoom: float = 1.0) -> "Camera":
         """OrbitControls-style rotate/zoom around the target

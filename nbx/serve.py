@@ -109,9 +109,11 @@ class LiveSim:
                 self.cam, sx0, sy0, sx1, sy1, self.width, self.height
             )
 
-    def orbit(self, dyaw=0.0, dpitch=0.0, zoom=1.0):
+    def orbit(self, dyaw=0.0, dpitch=0.0, zoom=1.0, panx=0.0, pany=0.0):
         with self.lock:
             self.cam = self.cam.orbit(dyaw, dpitch, zoom)
+            if panx or pany:
+                self.cam = self.cam.pan(panx, pany)
 
     def set_params(self, **kw):
         with self.lock:
@@ -241,14 +243,30 @@ function drawPreview(){
  c.lineTo(sx(cur[0]),sy(cur[1])); c.stroke();
  c.fillStyle='#00ff00';
  c.beginPath(); c.arc(sx(drag[0]),sy(drag[1]),3,0,7); c.fill();}
-v.addEventListener('mousedown',e=>{drag=toFrame(e);cur=drag;e.preventDefault();});
+let panning=false;
+v.addEventListener('contextmenu',e=>e.preventDefault());
+v.addEventListener('mousedown',e=>{drag=toFrame(e);cur=drag;
+ panning=(e.button===2||e.shiftKey);e.preventDefault();});
 addEventListener('mouseup',async e=>{if(!drag)return;const p=toFrame(e);
- if(mode==='add'){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
- drag=null;cur=null;drawPreview();});
-addEventListener('mousemove',async e=>{if(!drag)return;const p=toFrame(e);
- if(mode==='add'){cur=p;drawPreview();return;}
- await fetch(`/orbit?dyaw=${(p[0]-drag[0])*0.01}&dpitch=${(p[1]-drag[1])*0.01}`);
+ if(mode==='add'&&!panning){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
+ drag=null;cur=null;panning=false;drawPreview();});
+// damped orbit/pan (the OrbitControls enableDamping feel, L717-718):
+// drags feed a velocity that a rAF loop applies and decays
+let vyaw=0,vpitch=0,vpx=0,vpy=0;
+addEventListener('mousemove',e=>{if(!drag)return;const p=toFrame(e);
+ if(mode==='add'&&!panning){cur=p;drawPreview();return;}
+ if(panning){vpx+=-(p[0]-drag[0])*3e-4;vpy+=(p[1]-drag[1])*3e-4;}
+ else{vyaw+=(p[0]-drag[0])*2e-3;vpitch+=(p[1]-drag[1])*2e-3;}
  drag=p;});
+let orbitBusy=false;
+async function damp(){
+ if(!orbitBusy&&(Math.abs(vyaw)+Math.abs(vpitch)+Math.abs(vpx)+Math.abs(vpy)>1e-4)){
+  orbitBusy=true;
+  const q=`/orbit?dyaw=${vyaw}&dpitch=${vpitch}&panx=${vpx}&pany=${vpy}`;
+  vyaw*=0.82;vpitch*=0.82;vpx*=0.82;vpy*=0.82;   /* damping factor */
+  try{await fetch(q);}finally{orbitBusy=false;}}
+ requestAnimationFrame(damp);}
+requestAnimationFrame(damp);
 addEventListener('wheel',e=>fetch(`/orbit?zoom=${Math.exp(e.deltaY*0.001)}`));
 </script></body></html>"""
 
@@ -297,6 +315,7 @@ def make_handler(live: LiveSim):
                 live.orbit(
                     float(q.get("dyaw", 0)), float(q.get("dpitch", 0)),
                     float(q.get("zoom", 1)),
+                    float(q.get("panx", 0)), float(q.get("pany", 0)),
                 )
                 self._send(200, b"{}")
             elif u.path == "/set":

@@ -55,3 +55,24 @@ def test_spawn_drag_screen():
     # spawned on the y=0 plane with slingshot velocity opposite the drag
     assert abs(b["pos"][-1][1]) < 1e-3
     assert np.linalg.norm(b["vel"][-1]) > 0
+
+
+def test_camera_pan():
+    """Pan translates eye AND target along the view plane (OrbitControls
+    right-drag pan, index.html:721); the orbit radius is preserved."""
+    cam = Camera.default()
+    r0 = float(jnp.linalg.norm(cam.eye - cam.target))
+    cam2 = cam.pan(0.1, 0.0)
+    moved = np.asarray(cam2.target - cam.target)
+    assert np.linalg.norm(moved) > 1.0  # scaled by orbit radius
+    np.testing.assert_allclose(
+        np.asarray(cam2.eye - cam2.target), np.asarray(cam.eye - cam.target),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(cam2.eye - cam2.target)), r0, rtol=1e-6
+    )
+    # pan is along the view plane: no displacement along the view axis
+    fwd = np.asarray(cam.target - cam.eye)
+    fwd = fwd / np.linalg.norm(fwd)
+    assert abs(moved @ fwd) < 1e-4

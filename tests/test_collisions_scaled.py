@@ -259,3 +259,20 @@ def test_merge_under_gravity_scan():
     assert int(totals["n_merges"]) == 1
     assert int(jnp.sum(st.mass > 0)) == 1
     np.testing.assert_allclose(float(jnp.sum(st.mass)), 16.0, rtol=1e-6)
+
+
+def test_granular_pm_gravity_loop():
+    """force_impl='pm' runs the mesh solver inside the granular loop: the
+    disk stays bound and contacts still fire (the 1M-scale configuration,
+    tiny here)."""
+    pos, vel, mass = _granular_scene(seed=6, n=64)
+    st = make_granular_state(pos, vel, mass, key=6)
+    cfg = SimConfig(G=1.0, dt=0.004, sub_steps=1, merge_time=1e9,
+                    fracture_threshold=1e9)
+    st, totals = granular_full_kdk_scan(
+        st, cfg, BOX, n_steps=10, n_cells=2, max_per_cell=64,
+        force_impl="pm", pm_grid=32, interpret=True,
+    )
+    assert np.isfinite(np.asarray(st.pos)).all()
+    assert int(totals["n_bounces"]) > 0
+    assert np.abs(np.asarray(st.vel)).max() > 0  # gravity acted

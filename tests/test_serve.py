@@ -132,3 +132,12 @@ def test_cli_parsing():
             "--capacity", "8", "--checkpoint", ckpt, "--every", "2",
         ])
         assert rc == 0 and os.path.exists(ckpt)
+
+
+def test_orbit_pan_endpoint(server):
+    import numpy as np
+
+    base, live = server
+    tgt0 = np.asarray(live.cam.target)
+    _get(base + "/orbit?panx=0.05&pany=0.02")
+    assert np.abs(np.asarray(live.cam.target) - tgt0).max() > 0.5

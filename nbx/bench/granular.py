@@ -1,0 +1,133 @@
+"""Granular full-physics step benchmark: fused collision kernel configs.
+
+Times granular_full_kdk_scan (gravity + fused-kernel collisions with
+merge/fracture/timers + thermal) per step at scale, for a sweep of
+(n_cells, max_per_cell, band_cells) kernel configurations.
+
+    env PYTHONPATH=/root/repo:/root/.axon_site python -m nbx.bench.granular \
+        [N] [scene] [force] [cfg ...]
+    # scene: disk (contact-rich annulus) | cloud (uniform, exact binning)
+    # force: zero (isolates the collision kernel) | pallas | pm | ...
+    # cfg:   g,K[,B]  e.g. 32,16,6  (B = band_cells, omit for full columns)
+
+Methodology (CLAUDE.md): differential warmed-scan timing — warm the EXACT
+executables for both scan lengths, wall-clock each dispatch, materialize
+the result, slope = (t_long - t_short) / (steps_long - steps_short). Scan
+iterations form a data-dependency chain through the state. Dispatches stay
+under the ~30 s tunnel limit.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbx.collisions_scaled import granular_full_kdk_scan, make_granular_state
+from nbx.config import SimConfig
+
+BOX = 100.0
+
+
+def debris_disk(n: int, seed: int = 0):
+    """Annular debris disk (examples/granular_demo.py) — contact-rich.
+
+    Masses scale as 32768/n beyond the demo's N so the TOTAL body volume
+    stays ~the annulus volume: at fixed mass the 131k disk would be ~4x
+    over-packed (unphysical) and nearly every body would overflow its cell.
+    """
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(8.0, 28.0, n)
+    th = rng.uniform(0, 2 * np.pi, n)
+    pos = np.stack(
+        [50 + r * np.cos(th), 50 + rng.normal(0, 0.4, n), 50 + r * np.sin(th)],
+        axis=1,
+    ).astype(np.float32)
+    mass = (rng.uniform(0.05, 0.4, n) * min(1.0, 32768 / n)).astype(
+        np.float32
+    )
+    v = np.sqrt(0.5 * 2000.0 / r)
+    vel = np.stack(
+        [-v * np.sin(th), np.zeros(n), v * np.cos(th)], axis=1
+    ).astype(np.float32)
+    pos = np.concatenate([[[50.0, 50.0, 50.0]], pos]).astype(np.float32)
+    vel = np.concatenate([[[0.0, 0.0, 0.0]], vel]).astype(np.float32)
+    mass = np.concatenate([[2000.0], mass]).astype(np.float32)
+    return pos, vel, mass
+
+
+def granular_cloud(n: int, seed: int = 0):
+    """Uniform cloud in [10, 90)^3 with converging velocity jitter —
+    near-uniform cell occupancy (exact binning at sane K), contacts fire."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(10.0, 90.0, (n, 3)).astype(np.float32)
+    vel = (
+        (50.0 - pos) * 0.02 + rng.normal(0, 0.3, (n, 3))
+    ).astype(np.float32)
+    mass = rng.uniform(0.05, 0.4, n).astype(np.float32)
+    return pos, vel, mass
+
+
+def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
+                force_impl="pm", pm_grid=128):
+    def run(steps):
+        st, totals = granular_full_kdk_scan(
+            st0, cfg, BOX, n_steps=steps, n_cells=g, max_per_cell=k,
+            band_cells=band, force_impl=force_impl, pm_grid=pm_grid,
+        )
+        np.asarray(st.pos)  # materialize = the only reliable sync
+        return st, totals
+
+    run(s_short)  # warm BOTH exact executables
+    run(s_long)
+    best = float("inf")
+    totals = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, _ = run(s_short)
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st, totals = run(s_long)
+        t_l = time.perf_counter() - t0
+        best = min(best, (t_l - t_s) / (s_long - s_short))
+    return best, {k_: int(v) if v.ndim == 0 else v
+                  for k_, v in totals.items()}
+
+
+def main(argv):
+    n = int(argv[0]) if argv else 131072
+    scene = argv[1] if len(argv) > 1 else "disk"
+    force = argv[2] if len(argv) > 2 else "pm"
+    cfgs = []
+    for a in argv[3:]:
+        parts = [int(x) for x in a.split(",")]
+        cfgs.append((parts[0], parts[1], parts[2] if len(parts) > 2 else None))
+    if not cfgs:
+        cfgs = [(32, 16, None), (32, 16, 6), (28, 12, None), (28, 12, 6),
+                (24, 16, 6), (16, 64, 2)]
+    if scene == "cloud":
+        pos, vel, mass = granular_cloud(n)
+    else:
+        pos, vel, mass = debris_disk(n - 1)
+    st0 = make_granular_state(pos, vel, mass, key=0)
+    cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.25,
+                    fracture_threshold=8.0)
+    for g, k, band in cfgs:
+        ms, totals = time_config(st0, cfg, g, k, band, force_impl=force)
+        print(json.dumps(dict(
+            n=n, scene=scene, force=force,
+            n_cells=g, max_per_cell=k, band_cells=band,
+            ms_per_step=round(ms * 1e3, 2),
+            n_overflow=totals["n_overflow"],
+            cell_too_small=bool(totals["cell_too_small"]),
+            n_bounces=totals["n_bounces"], n_merges=totals["n_merges"],
+            n_fractures=totals["n_fractures"],
+        )), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

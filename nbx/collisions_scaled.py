@@ -115,7 +115,7 @@ class ScaledEvents(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "max_per_cell", "interpret"),
+    static_argnames=("n_cells", "max_per_cell", "band_cells", "interpret"),
 )
 def resolve_collisions_scaled(
     state: GranularState,
@@ -124,6 +124,7 @@ def resolve_collisions_scaled(
     box_size: float,
     n_cells: int,
     max_per_cell: int = 16,
+    band_cells: int | None = None,
     interpret: bool = False,
 ) -> tuple[GranularState, ScaledEvents]:
     """One full collision substep at scale (reference resolveCollisions,
@@ -137,7 +138,8 @@ def resolve_collisions_scaled(
     dvel, dpos, dtemp, best, n_bounces, n_overflow, too_small = (
         binned_collision_pass(
             state.pos, state.vel, state.mass, radius, box_size, n_cells,
-            cfg.restitution, cfg.friction, max_per_cell, interpret,
+            cfg.restitution, cfg.friction, max_per_cell, band_cells,
+            interpret,
         )
     )
     pos = state.pos + dpos
@@ -280,8 +282,8 @@ def resolve_collisions_scaled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_steps", "n_cells", "max_per_cell", "force_impl", "pm_grid",
-        "interpret",
+        "n_steps", "n_cells", "max_per_cell", "band_cells", "force_impl",
+        "pm_grid", "interpret",
     ),
 )
 def granular_full_kdk_scan(
@@ -291,6 +293,7 @@ def granular_full_kdk_scan(
     n_steps: int,
     n_cells: int = 32,
     max_per_cell: int = 16,
+    band_cells: int | None = None,
     force_impl: str = "auto",
     pm_grid: int = 128,
     interpret: bool = False,
@@ -302,10 +305,12 @@ def granular_full_kdk_scan(
 
     force_impl: the nbx.sim.gravity dispatchers (auto|dense|blocked|pallas)
     plus "pm" — the particle-mesh solver on a pm_grid^3 isolated mesh over
-    the same [0, box)^3 domain as the collision binning. PM turns the
-    gravity half of a 1M-body collisional step from ~6 s (direct) into
-    ~0.8 s, the right trade for collisionless-scale gravity + collisional
-    contact dynamics (planetary rings, debris disks)."""
+    the same [0, box)^3 domain as the collision binning — and "zero" (no
+    gravity: pure contact dynamics, also the collision-cost isolation mode
+    for benchmarks). PM turns the gravity half of a 1M-body collisional
+    step from ~6 s (direct) into ~0.8 s, the right trade for
+    collisionless-scale gravity + collisional contact dynamics (planetary
+    rings, debris disks)."""
     from nbx.sim import gravity
 
     if force_impl == "pm":
@@ -314,6 +319,8 @@ def granular_full_kdk_scan(
     h = cfg.dt / cfg.sub_steps
 
     def _force(pos, mass):
+        if force_impl == "zero":
+            return jnp.zeros_like(pos)
         if force_impl == "pm":
             return pm_acceleration(
                 pos, mass, cfg.G, box_size, g=pm_grid, isolated=True
@@ -327,7 +334,8 @@ def granular_full_kdk_scan(
         acc2 = _force(pos, st.mass)
         st = st._replace(pos=pos, vel=vel)
         st, ev = resolve_collisions_scaled(
-            st, cfg, h, box_size, n_cells, max_per_cell, interpret
+            st, cfg, h, box_size, n_cells, max_per_cell, band_cells,
+            interpret,
         )
         # slots reborn by merge/fracture are NEWBORN: acc = 0
         # (index.html:217) — their pre-event acc includes dead partners'

@@ -62,6 +62,41 @@ def accelerations_blocked(
     return out.reshape(n, 3)
 
 
+def acc_and_jerk(
+    pos: jax.Array,
+    mass: jax.Array,
+    vel: jax.Array,
+    G: jax.Array | float,
+    softening: jax.Array | float,
+) -> tuple[jax.Array, jax.Array]:
+    """Softened acceleration AND its time derivative (jerk) — the force
+    evaluation the 4th-order Hermite scheme needs (nbx.integrators.hermite):
+
+        acc_i  = G sum_j m_j d_ij / s^3,           s^2 = |d|^2 + eps^2
+        jerk_i = G sum_j m_j [ v_ij / s^3 - 3 (d_ij . v_ij) d_ij / s^5 ]
+
+    Same pair masking rules as accelerations(). The reference has no such
+    integrator (its loop is the KDK of index.html:247-262); this is a
+    beyond-reference capability for high-accuracy few-body work.
+    """
+    d = pos[None, :, :] - pos[:, None, :]  # d[i, j] = p_j - p_i
+    dv = vel[None, :, :] - vel[:, None, :]
+    eps2 = jnp.asarray(softening, pos.dtype) ** 2
+    r2 = jnp.sum(d * d, axis=-1) + eps2
+    n = pos.shape[0]
+    zero = (r2 <= 0.0) | jnp.eye(n, dtype=bool)
+    safe = jnp.where(zero, 1.0, r2)
+    inv = jax.lax.rsqrt(safe)
+    inv3 = inv / safe  # s^-3
+    w = jnp.where(zero, 0.0, G * mass[None, :] * inv3)
+    acc = jnp.einsum("ij,ijc->ic", w, d)
+    rv = jnp.sum(d * dv, axis=-1)  # d . v per pair
+    jerk = jnp.einsum("ij,ijc->ic", w, dv) - jnp.einsum(
+        "ij,ijc->ic", w * 3.0 * rv / safe, d
+    )
+    return acc, jerk
+
+
 def potential_energy(
     pos: jax.Array,
     mass: jax.Array,

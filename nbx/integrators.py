@@ -76,6 +76,59 @@ STEPPERS = {
 }
 
 
+class HermiteState(NamedTuple):
+    pos: jax.Array
+    vel: jax.Array
+    acc: jax.Array
+    jerk: jax.Array
+
+
+# pos [N,3], vel [N,3] -> (acc [N,3], jerk [N,3])
+ForceJerkFn = Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def init_hermite(pos, vel, force_jerk: ForceJerkFn) -> HermiteState:
+    acc, jerk = force_jerk(pos, vel)
+    return HermiteState(pos, vel, acc, jerk)
+
+
+def hermite_step(
+    s: HermiteState, h: jax.Array | float, force_jerk: ForceJerkFn
+) -> HermiteState:
+    """4th-order Hermite predictor-corrector (Makino & Aarseth 1992): one
+    force+jerk evaluation per step, two-point Hermite-interpolation
+    corrector. ~h^4 energy error vs the leapfrog's h^2 — the high-accuracy
+    few-body integrator the N-body performance literature builds on
+    (PAPERS.md: Hermite-scheme tuning). Beyond-reference capability; same
+    pure-function shape as the STEPPERS so it scans identically.
+    """
+    h2 = h * h
+    xp = s.pos + s.vel * h + s.acc * (h2 / 2.0) + s.jerk * (h2 * h / 6.0)
+    vp = s.vel + s.acc * h + s.jerk * (h2 / 2.0)
+    a1, j1 = force_jerk(xp, vp)
+    v1 = s.vel + (s.acc + a1) * (h / 2.0) + (s.jerk - j1) * (h2 / 12.0)
+    x1 = s.pos + (s.vel + v1) * (h / 2.0) + (s.acc - a1) * (h2 / 12.0)
+    return HermiteState(x1, v1, a1, j1)
+
+
+def run_hermite(
+    s: HermiteState,
+    h: jax.Array | float,
+    n_steps: int,
+    force_jerk: ForceJerkFn,
+    diagnostics: Callable[[HermiteState], jax.Array] | None = None,
+    unroll: int = 1,
+):
+    """Integrate n_steps of the Hermite scheme under lax.scan."""
+
+    def body(carry, _):
+        nxt = hermite_step(carry, h, force_jerk)
+        out = diagnostics(nxt) if diagnostics is not None else None
+        return nxt, out
+
+    return jax.lax.scan(body, s, None, length=n_steps, unroll=unroll)
+
+
 def init_phase(pos: jax.Array, vel: jax.Array, force: ForceFn | None = None) -> PhaseState:
     """Initial phase state. The reference starts with acc = 0
     (index.html:217) so the first half-kick is a no-op; pass `force` to start

@@ -27,6 +27,18 @@ TPU-first structure (NOT a translation of the scalar sweep):
     and a per-target "deepest-overlap partner" record merges by max depth —
     this per-BODY partner is what replaces the reference's per-PAIR contact
     map at scale (see nbx.collisions_scaled for the timer semantics).
+  * k-banding (band_cells=B): a cell at depth k only overlaps neighbors at
+    k-1..k+1, so pairing full g-cell columns wastes ~g/3 of the pair work.
+    With banding, each target strip of B cells meets a GUARD-PADDED source
+    strip of B+2 cells. Pair work drops from 9 g^4 K^2 to
+    ~9 g^3 K^2 (B+2)/B. The banded path additionally FUSES the 9-neighbor
+    axis: the source block of a (column, band) program is the whole 3x3
+    column neighborhood's guarded strips materialized contiguously by ONE
+    XLA gather ([16, 9 (B+2) K] lanes), so the grid is 1D with ~9x fewer
+    programs, outputs are written once (no revisit accumulation), and no
+    scalar prefetch is needed. Measured motivation: at (32, 16) the
+    prefetch-driven 9-revisit banded grid ran 55k programs and grid
+    overhead ate most of the 3.5x pair-work cut.
   * both ordered copies of each pair are processed (i as target of j and
     vice versa), each side accumulating its own half of the impulse — the
     Jacobi application, same divergence note as nbx.collisions.
@@ -180,8 +192,149 @@ def _collide_kernel(neigh_ref, par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     evt_ref[:] = jnp.where(new[:, 0:1] > old[:, 0:1], new, old)
 
 
+def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
+    """1D grid, single visit: target strip vs its FULL fused 3x3xk-guard
+    source neighborhood.
+
+    tgt_ref   [T, 16]  target rows: x y z vx vy vz m r gidx 0...
+    src_ref   [16, S]  fused neighborhood, lanes = bodies (dead-padded)
+    par_ref   [1, 2]   SMEM: restitution, friction
+    delta_ref [T, 8]   = dvx dvy dvz dpx dpy dpz heat n_bounce
+    evt_ref   [T, 8]   = depth j_gidx vn Q E m_j approaching 0 (deepest)
+
+    Same physics as _collide_kernel with two exact algebraic cuts: the
+    friction impulse jt * t_hat == -(friction / inv_sum) * t_vec (the
+    normalization sqrt and division cancel, reference L364-369), and the
+    1/inv_sum, 1/m_sum reciprocals are hoisted and multiplied through.
+    """
+    t = tgt_ref[:]
+    xi, yi, zi = t[:, 0:1], t[:, 1:2], t[:, 2:3]
+    vxi, vyi, vzi = t[:, 3:4], t[:, 4:5], t[:, 5:6]
+    mi, ri, gi = t[:, 6:7], t[:, 7:8], t[:, 8:9]
+
+    s = src_ref[:]
+    xj, yj, zj = s[0:1, :], s[1:2, :], s[2:3, :]
+    vxj, vyj, vzj = s[3:4, :], s[4:5, :], s[5:6, :]
+    mj, rj, gj = s[6:7, :], s[7:8, :], s[8:9, :]
+
+    dx = xj - xi  # [T, S] i -> j
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    min_d = ri + rj
+    alive2 = (mi > 0.0) & (mj > 0.0)
+    distinct = jnp.abs(gi - gj) > 0.5
+    overlap = alive2 & distinct & (r2 < min_d * min_d)
+
+    inv_dist = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
+    dist = r2 * inv_dist  # sqrt(r2), 0 at r2 == 0
+    nx = dx * inv_dist
+    ny = dy * inv_dist
+    nz = dz * inv_dist
+    rvx = vxj - vxi
+    rvy = vyj - vyi
+    rvz = vzj - vzi
+    vn = rvx * nx + rvy * ny + rvz * nz
+    appr = overlap & (vn < 0.0)
+
+    inv_i = jnp.where(mi > 0.0, 1.0 / jnp.where(mi > 0.0, mi, 1.0), 0.0)
+    inv_j = jnp.where(mj > 0.0, 1.0 / jnp.where(mj > 0.0, mj, 1.0), 0.0)
+    inv_sum = inv_i + inv_j
+    r_is = 1.0 / jnp.where(inv_sum > 0.0, inv_sum, 1.0)  # hoisted
+
+    e = par_ref[0, 0]
+    fric = par_ref[0, 1]
+    gate = jnp.where(appr, r_is, 0.0)  # masked 1/inv_sum
+    j_imp = -(1.0 + e) * vn * gate
+    ft = fric * gate  # friction impulse = -ft * t_vec (t_hat sqrt cancels)
+    impx = j_imp * nx - ft * (rvx - vn * nx)
+    impy = j_imp * ny - ft * (rvy - vn * ny)
+    impz = j_imp * nz - ft * (rvz - vn * nz)
+
+    # target side of the pair impulse: vel_i -= imp * inv_i
+    dvx = -jnp.sum(impx, axis=1, keepdims=True) * inv_i[:, 0:1]
+    dvy = -jnp.sum(impy, axis=1, keepdims=True) * inv_i[:, 0:1]
+    dvz = -jnp.sum(impz, axis=1, keepdims=True) * inv_i[:, 0:1]
+
+    corr = (min_d - dist) * (CORRECTION * gate)
+    dpx = -jnp.sum(corr * nx, axis=1, keepdims=True) * inv_i[:, 0:1]
+    dpy = -jnp.sum(corr * ny, axis=1, keepdims=True) * inv_i[:, 0:1]
+    dpz = -jnp.sum(corr * nz, axis=1, keepdims=True) * inv_i[:, 0:1]
+
+    m_sum = mi + mj
+    r_ms = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)  # hoisted
+    mu = mi * mj * r_ms
+    e_full = 0.5 * mu * vn * vn  # impact energy (unmasked, L333)
+    heat = (
+        jnp.sum(jnp.where(appr, e_full, 0.0), axis=1, keepdims=True)
+        * inv_i[:, 0:1]
+        * HEAT_FRACTION
+    )
+    n_b = jnp.sum(jnp.where(appr, 1.0, 0.0), axis=1, keepdims=True)
+
+    delta_ref[:] = jnp.concatenate(
+        [dvx, dvy, dvz, dpx, dpy, dpz, heat, n_b], axis=1
+    )
+
+    # ---- deepest-overlap partner (feeds the at-scale contact timers) ------
+    depth = jnp.where(overlap, min_d - dist, DEPTH_SENTINEL)
+    dmax = jnp.max(depth, axis=1, keepdims=True)  # [T, 1]
+    has = dmax > 0.0
+    cand = overlap & (depth >= dmax)
+    # tie-break by smallest source gidx; each body appears at most once in
+    # the fused neighborhood, so `pick` has exactly one lane set
+    gjb = gj + jnp.zeros_like(depth)
+    jsel = jnp.min(jnp.where(cand, gjb, _BIG), axis=1, keepdims=True)
+    pick = cand & (gjb <= jsel)
+    sel = lambda m: jnp.sum(jnp.where(pick, m, 0.0), axis=1, keepdims=True)
+    q_full = e_full * r_ms  # specific energy (L338)
+    evt_ref[:] = jnp.concatenate(
+        [
+            jnp.where(has, dmax, DEPTH_SENTINEL),
+            jnp.where(has, jsel, -1.0),
+            sel(vn),
+            sel(q_full),
+            sel(e_full),
+            sel(mj + jnp.zeros_like(depth)),
+            sel(jnp.where(vn < 0.0, 1.0, 0.0)),
+            jnp.zeros_like(dmax),
+        ],
+        axis=1,
+    )
+
+
+def _body_feats(pos, vel, mass, radius, box_size):
+    """[N + 1, 16] feature matrix; row n = dead padding parked far away."""
+    n = pos.shape[0]
+    f32 = jnp.float32
+    feats = jnp.zeros((n + 1, 16), f32)
+    feats = feats.at[:n, 0:3].set(pos.astype(f32))
+    feats = feats.at[:n, 3:6].set(vel.astype(f32))
+    feats = feats.at[:n, 6].set(mass.astype(f32))
+    feats = feats.at[:n, 7].set(radius.astype(f32))
+    feats = feats.at[:n, 8].set(jnp.arange(n, dtype=f32))
+    feats = feats.at[n, 0:3].set(2.0 * box_size)
+    feats = feats.at[n, 8].set(-2.0)  # never matches a real gidx
+    return feats
+
+
+def _column_neighbors(g: int):
+    """9-neighborhood column ids [g*g, 9]; invalid offsets -> g*g."""
+    n_cols = g * g
+    cc = jnp.arange(n_cols, dtype=jnp.int32)
+    ci, cj = cc // g, cc % g
+    neigh = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ni, nj = ci + di, cj + dj
+            ok = (ni >= 0) & (ni < g) & (nj >= 0) & (nj < g)
+            neigh.append(jnp.where(ok, ni * g + nj, n_cols))
+    return jnp.stack(neigh, axis=1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_cells", "max_per_cell", "interpret")
+    jax.jit,
+    static_argnames=("n_cells", "max_per_cell", "band_cells", "interpret"),
 )
 def binned_collision_pass(
     pos,  # [N, 3] — binning domain [0, box)^3 (out-of-box clipped to faces)
@@ -193,6 +346,7 @@ def binned_collision_pass(
     restitution=0.2,
     friction=0.5,
     max_per_cell: int = 16,
+    band_cells: int | None = None,
     interpret: bool = False,
 ):
     """One fused collision sweep over the 27-cell neighborhoods.
@@ -202,100 +356,174 @@ def binned_collision_pass(
     record: dict(j [N] i32 (-1 = none), vn, q, energy, m_j [N] f32,
     approaching [N] bool). Deltas are Jacobi accumulations to ADD to the
     caller's state (same contract as nbx.collisions_binned).
+
+    band_cells=B switches to the k-banded layout (module docstring): same
+    interacting pair set whenever cell_too_small is False (bodies that
+    overlap from >1 cell apart in k are missed — exactly the regime the
+    flag already marks as unreliable), floating-point differences only from
+    the narrower reduction width.
     """
     n = pos.shape[0]
     g = n_cells
+    k = max_per_cell
     n_cols = g * g
-    t_rows = _round_up(max(g * max_per_cell, 8), LANE)
 
-    table, _, n_overflow = cell_bin(pos, box_size, g, max_per_cell)
+    table, _, n_overflow = cell_bin(pos, box_size, g, k)
     cell_too_small = 2.0 * jnp.max(radius) > box_size / g
-
-    # column-major body index table [n_cols, T], padded with n
-    col_idx = table.reshape(n_cols, g * max_per_cell)
-    col_idx = jnp.concatenate(
-        [
-            col_idx,
-            jnp.full((n_cols, t_rows - g * max_per_cell), n, jnp.int32),
-        ],
-        axis=1,
-    )
-
-    # body feature matrix [N + 1, 16]; row n = dead padding parked far away
+    feats = _body_feats(pos, vel, mass, radius, box_size)
+    neigh = _column_neighbors(g)
     f32 = jnp.float32
-    feats = jnp.zeros((n + 1, 16), f32)
-    feats = feats.at[:n, 0:3].set(pos.astype(f32))
-    feats = feats.at[:n, 3:6].set(vel.astype(f32))
-    feats = feats.at[:n, 6].set(mass.astype(f32))
-    feats = feats.at[:n, 7].set(radius.astype(f32))
-    feats = feats.at[:n, 8].set(jnp.arange(n, dtype=f32))
-    feats = feats.at[n, 0:3].set(2.0 * box_size)
-    feats = feats.at[n, 8].set(-2.0)  # never matches a real gidx
-
-    tgt = feats[col_idx.reshape(-1)]  # [n_cols * T, 16] — the ONE gather
-    src_cols = tgt.reshape(n_cols, t_rows, 16).transpose(0, 2, 1)
-    # +1 padding column (all dead) for clamped-duplicate neighbors
-    pad_col = jnp.broadcast_to(feats[n][:, None], (1, 16, t_rows))
-    src = jnp.concatenate([src_cols, pad_col], axis=0).reshape(-1, t_rows)
-
-    # 9-neighborhood column ids (di, dj); invalid offsets -> padding column
-    cc = jnp.arange(n_cols, dtype=jnp.int32)
-    ci, cj = cc // g, cc % g
-    neigh = []
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            ni, nj = ci + di, cj + dj
-            ok = (ni >= 0) & (ni < g) & (nj >= 0) & (nj < g)
-            neigh.append(jnp.where(ok, ni * g + nj, n_cols))
-    neigh = jnp.stack(neigh, axis=1)  # [n_cols, 9]
 
     par = jnp.asarray([[restitution, friction]], f32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_cols, 9),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda c, o, nr: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((t_rows, 16), lambda c, o, nr: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, t_rows), lambda c, o, nr: (nr[c, o], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((t_rows, 8), lambda c, o, nr: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_rows, 8), lambda c, o, nr: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
     pair_ops = 60  # ~VPU ops per pair evaluation
-    delta, evt = pl.pallas_call(
-        _collide_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_cols * t_rows, 8), f32),
-            jax.ShapeDtypeStruct((n_cols * t_rows, 8), f32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=pair_ops * n_cols * 9 * t_rows * t_rows,
-            bytes_accessed=(n_cols * t_rows * (16 + 16 * 9 + 16)) * 4,
-            transcendentals=n_cols * 9 * t_rows * t_rows,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            # The pair math keeps ~16 [T, T] f32 temporaries live (impulse,
-            # friction, heating, partner-selection chains): at T = 512 that
-            # is ~16.4 MB, just past Mosaic's default 16 MB scoped budget.
-            # An explicit budget unlocks it (same lever as the gravity
-            # kernel's beyond-default tiles, nbx/ops/pairwise.py).
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(neigh, par, tgt, src)
+
+    if band_cells is None:
+        # ---- full-column layout: blocks are whole columns, grid (cols, 9),
+        # the o axis revisits the outputs, neighbor ids via scalar prefetch
+        t_rows = _round_up(max(g * k, 8), LANE)
+        s_rows = t_rows
+        n_tblocks = n_cols
+        # column-major body index table [n_cols, T], padded with n
+        col_idx = table.reshape(n_cols, g * k)
+        col_idx = jnp.concatenate(
+            [col_idx, jnp.full((n_cols, t_rows - g * k), n, jnp.int32)],
+            axis=1,
+        )
+        tgt = feats[col_idx.reshape(-1)]  # [n_cols * T, 16] — the ONE gather
+        src_cols = tgt.reshape(n_cols, t_rows, 16).transpose(0, 2, 1)
+        # +1 padding block (all dead) for out-of-range neighbors
+        pad_col = jnp.broadcast_to(feats[n][:, None], (1, 16, t_rows))
+        src = jnp.concatenate([src_cols, pad_col], axis=0).reshape(-1, t_rows)
+        flat_idx = col_idx.reshape(-1)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tblocks, 9),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda c, o, nr: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_rows, 16), lambda c, o, nr: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, s_rows), lambda c, o, nr: (nr[o, c], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_rows, 8), lambda c, o, nr: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_rows, 8), lambda c, o, nr: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        delta, evt = pl.pallas_call(
+            _collide_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=pair_ops * n_tblocks * 9 * t_rows * s_rows,
+                bytes_accessed=(n_tblocks * (t_rows * 16 + s_rows * 16 * 9
+                                             + t_rows * 16)) * 4,
+                transcendentals=n_tblocks * 9 * t_rows * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                # The pair math keeps ~16 [T, S] f32 temporaries live: at
+                # T = S = 512 that is ~16.4 MB, just past Mosaic's default
+                # 16 MB scoped budget. An explicit budget unlocks it (same
+                # lever as the gravity kernel's beyond-default tiles).
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+            # neigh ships TRANSPOSED [9, n_cols]: SMEM pads the minor dim
+            # to 128 lanes, so [n_cols, 9] would cost n_cols*128 words;
+            # [9, ...] pads 9 -> 16 rows instead.
+        )(neigh.T, par, tgt, src)
+    else:
+        # ---- k-banded FUSED layout: B-cell target strips vs the whole 3x3
+        # column neighborhood's (B+2)-cell guarded strips, materialized
+        # contiguously per (column, band) by one XLA gather. 1D grid,
+        # single-visit outputs, no scalar prefetch.
+        b = band_cells
+        if not 1 <= b <= g:
+            raise ValueError(f"band_cells must be in [1, {g}], got {b}")
+        n_bands = -(-g // b)
+        t_rows = _round_up(b * k, 8)
+        s_rows = _round_up(9 * (b + 2) * k, LANE)
+        n_tblocks = n_cols * n_bands
+
+        table3 = table.reshape(n_cols, g, k)
+        # targets: pad the cell axis to n_bands*b, the row axis to t_rows
+        tpad = jnp.full((n_cols, n_bands * b - g, k), n, jnp.int32)
+        btgt_idx = jnp.concatenate([table3, tpad], axis=1).reshape(
+            n_cols, n_bands, b * k
+        )
+        rpad = jnp.full((n_cols, n_bands, t_rows - b * k), n, jnp.int32)
+        btgt_idx = jnp.concatenate([btgt_idx, rpad], axis=2)
+        flat_idx = btgt_idx.reshape(-1)
+        tgt = feats[flat_idx]  # [n_tblocks * t_rows, 16]
+
+        # fused source window: for each (column, band), the 9 neighbor
+        # columns' cells band*b-1 .. band*b+b (k-guards). Dead cells pad
+        # out-of-range k; a virtual all-dead COLUMN pads invalid neighbors.
+        dead_cell = jnp.full((n_cols, 1, k), n, jnp.int32)
+        table_g2 = jnp.concatenate([dead_cell, table3, dead_cell], axis=1)
+        table_g2 = jnp.concatenate(
+            [table_g2, jnp.full((1, g + 2, k), n, jnp.int32)], axis=0
+        )  # [n_cols + 1, g+2, k]
+        band_win = (
+            jnp.arange(n_bands, dtype=jnp.int32)[:, None] * b
+            + jnp.arange(b + 2, dtype=jnp.int32)[None, :]
+        )  # [n_bands, b+2] into the g+2 padded cell axis
+        band_win = jnp.minimum(band_win, g + 1)  # clamp tail bands to dead
+        # [n_cols, 9, n_bands, b+2, k] -> [n_cols, n_bands, 9*(b+2)*k]
+        bsrc_idx = table_g2[neigh][:, :, band_win, :].transpose(
+            0, 2, 1, 3, 4
+        ).reshape(n_cols, n_bands, 9 * (b + 2) * k)
+        spad = jnp.full(
+            (n_cols, n_bands, s_rows - 9 * (b + 2) * k), n, jnp.int32
+        )
+        bsrc_idx = jnp.concatenate([bsrc_idx, spad], axis=2).reshape(-1)
+        src = feats[bsrc_idx].reshape(n_tblocks, s_rows, 16).transpose(
+            0, 2, 1
+        ).reshape(-1, s_rows)
+
+        delta, evt = pl.pallas_call(
+            _collide_kernel_fused,
+            grid=(n_tblocks,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=pair_ops * n_tblocks * t_rows * s_rows,
+                bytes_accessed=(n_tblocks * (t_rows * 16 + s_rows * 16
+                                             + t_rows * 16)) * 4,
+                transcendentals=n_tblocks * t_rows * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(par, tgt, src)
 
     # scatter back to body order (each live body appears exactly once)
-    flat_idx = col_idx.reshape(-1)
     out_d = jnp.zeros((n + 1, 8), f32).at[flat_idx].add(delta, mode="drop")
     out_e = (
         jnp.full((n + 1, 8), DEPTH_SENTINEL, f32)

@@ -466,6 +466,115 @@ def pairwise_acc(
     return out[:nt, 0:3]
 
 
+def _accjerk_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """acc AND jerk in one pass (the Hermite scheme's force evaluation,
+    nbx.integrators.hermite_step; physics in nbx.forces.acc_and_jerk):
+
+        acc  = sum_j w d,  jerk = sum_j w (dv - 3 (d.dv)/s^2 d),
+        w = m_j / s^3
+
+    f32r discipline: dx-first VPU chains, f32 row reductions, G folded at
+    the end. ~40 VPU ops/pair. tgt [TI, 8] = x y z vx vy vz 0 0;
+    src [8, TJ] = x y z m vx vy vz 0."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    dx = src_ref[0:1, :] - tgt_ref[:, 0:1]
+    dy = src_ref[1:2, :] - tgt_ref[:, 1:2]
+    dz = src_ref[2:3, :] - tgt_ref[:, 2:3]
+    dvx = src_ref[4:5, :] - tgt_ref[:, 3:4]
+    dvy = src_ref[5:6, :] - tgt_ref[:, 4:5]
+    dvz = src_ref[6:7, :] - tgt_ref[:, 5:6]
+    r2 = dx * dx + dy * dy + dz * dz + eps2_ref[0, 0]
+    inv = jax.lax.rsqrt(r2)
+    inv2 = inv * inv
+    w = inv * inv2 * src_ref[3:4, :]  # m_j / s^3
+    c = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv2  # 3 (d.dv) / s^2
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    jx = jnp.sum(w * (dvx - c * dx), axis=1, keepdims=True)
+    jy = jnp.sum(w * (dvy - c * dy), axis=1, keepdims=True)
+    jz = jnp.sum(w * (dvz - c * dz), axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    out_ref[:] += jnp.concatenate([ax, ay, az, jx, jy, jz, zero, zero], 1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = out_ref[:] * g_ref[0, 0]
+
+
+def pairwise_acc_jerk(
+    pos: jax.Array,
+    mass: jax.Array,
+    vel: jax.Array,
+    G,
+    softening,
+    target_pos: jax.Array | None = None,
+    target_vel: jax.Array | None = None,
+    tile_i: int = 512,
+    tile_j: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Softened acceleration + jerk via the Pallas kernel — the at-scale
+    force evaluation for the 4th-order Hermite integrator. Requires
+    softening > 0 (the self-pair is finite through eps^2, as pairwise_acc).
+    Returns (acc [Nt, 3], jerk [Nt, 3]). Default tile_i is 512 (the kernel
+    keeps ~2x the live [TI, TJ] temporaries of the 19-op acc kernel)."""
+    if target_pos is None:
+        target_pos = pos
+        target_vel = vel
+    nt, ns = target_pos.shape[0], pos.shape[0]
+    nt_p = _round_up(max(nt, 8), tile_i)
+    ns_p = _round_up(max(ns, LANE), tile_j)
+
+    tgt = jnp.zeros((nt_p, 8), jnp.float32)
+    tgt = tgt.at[:nt, 0:3].set(target_pos.astype(jnp.float32))
+    tgt = tgt.at[:nt, 3:6].set(target_vel.astype(jnp.float32))
+    src = jnp.zeros((8, ns_p), jnp.float32)
+    src = src.at[0:3, :ns].set(pos.astype(jnp.float32).T)
+    src = src.at[3, :ns].set(mass.astype(jnp.float32))
+    src = src.at[4:7, :ns].set(vel.astype(jnp.float32).T)
+    s = jnp.zeros((8, 8), jnp.float32)
+
+    g_arr = jnp.asarray([[G]], jnp.float32)
+    eps2 = jnp.asarray([[jnp.square(softening)]], jnp.float32)
+    grid = (nt_p // tile_i, ns_p // tile_j)
+    out = pl.pallas_call(
+        _accjerk_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt_p, 8), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * nt_p * ns_p,
+            bytes_accessed=(nt_p * 8 + ns_p * 8 + nt_p * 8) * 4,
+            transcendentals=nt_p * ns_p,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(g_arr, eps2, tgt, src, s)
+    return out[:nt, 0:3], out[:nt, 3:6]
+
+
 def _potential_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
     """Per-target softened potential: phi_i = -G sum_j m_j (d^2+eps^2)^(-1/2)
     (includes the i == j self term m_i / eps — subtracted by the wrapper)."""

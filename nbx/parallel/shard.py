@@ -273,7 +273,7 @@ def shard_body_state(mesh: Mesh, pos, vel, mass, mat=None,
 
 def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
     """Sharded FULL-physics KDK substep: gravity + bounce + contact timers
-    + merges across chips. (state, h) -> (state, n_merges).
+    + merges + FRACTURES across chips. (state, h, key) -> (state, counters).
 
     Design (docs/DESIGN.md "sharded collisions"): each chip resolves its
     LOCAL body shard against the all-gathered global state — O(N^2/D) pair
@@ -287,23 +287,29 @@ def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
     merged body (it stays on its owning chip; slot ownership is static),
     the higher-index copy dies in place.
 
-    In scope: bounce impulses + friction + Baumgarte + impact heating +
-    thermal decay + merges. Fractures stay single-chip for now: fragments
-    need GLOBAL free-slot allocation, which is a distributed-consensus
-    problem (a psum'd per-chip free-slot census + deterministic assignment)
-    documented in docs/DESIGN.md rather than half-built here.
+    Fractures (reference index.html:411-443) extend the same replication
+    principle to slot ALLOCATION: every chip gathers the fracture-event
+    payload, extracts the same globally-ranked event list, samples the SAME
+    fragments from the shared `key` (jax.random is deterministic), and runs
+    the same rank-scatter of fragments onto the global dead-slot census —
+    then each chip writes only the fragments whose assigned slot falls in
+    its own shard. Pure replicated arithmetic; no negotiation, no extra
+    round trips beyond the payload gather.
 
     Pair math is dense [N/D, N] jnp (the correctness/semantics reference);
     the production-scale path would fuse the binned Pallas kernel
     (nbx.ops.collide) per chip with halo exchange of boundary cells.
     """
+    from nbx.collisions import _make_fragments
     from nbx.config import body_radius, inverse_mass
+    from nbx.ops.p3m import take_rows
 
     impl = _resolve_impl(impl)
     mats = cfg.materials
+    f_cap = cfg.max_fractures
 
     @jax.jit
-    def step(state: ShardedBodyState, h):
+    def step(state: ShardedBodyState, h, key):
         def local(pos, vel, acc, mass, mat, temp, partner, t_prev):
             nl = pos.shape[0]
             me = jax.lax.axis_index("b")
@@ -395,16 +401,76 @@ def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
             mtemp = (temp * mass + temp2_g[jc] * mj) / safe_tot
             mmat = jnp.where(mass > mj, mat, mat_g[jc])  # heavier (L403)
 
+            # ---- fracture gate, exclusive with merges (L348, 354-359) ------
+            fract = (
+                mutual & appr_l & appr_g[jc] & ~mergeable
+                & (q_l > cfg.fracture_threshold)
+                & ((mass > cfg.min_fragment_mass)
+                   | (mj > cfg.min_fragment_mass))
+            )
+            primary_f = fract & (gidx < jc)
+            # event payload from PRE-KILL values (fracture parents are
+            # untouched by the merge writes below — gates are exclusive)
+            e_best = jnp.where(fract, atj(e_full), 0.0)
+            f_tot = jnp.where(fract, mass + mj, 1.0)
+            f_com = (pos * mass[:, None] + pos2_g[jc] * mj[:, None]) / f_tot[:, None]
+            f_bvel = (vel * mass[:, None] + vel2_g[jc] * mj[:, None]) / f_tot[:, None]
+            f_temp = jnp.maximum(temp, temp2_g[jc]) + (e_best / f_tot) * 0.1
+            f_mat = jnp.where(mass > mj, mat, mat_g[jc])
+            f_rsum = radius + radius_g[jc]
+
             pm = primary[:, None]
             pos = jnp.where(pm, mpos, pos)
             vel = jnp.where(pm, mvel, jnp.where(killed[:, None], 0.0, vel))
             temp = jnp.where(primary, mtemp, jnp.where(killed, 0.0, temp))
             mat = jnp.where(primary, mmat, mat)
             mass = jnp.where(primary, tot, jnp.where(killed, 0.0, mass))
-            touched = primary | killed
+
+            # ---- fractures: kill parents, replicate event extraction ------
+            mass = jnp.where(fract, 0.0, mass)
+            vel = jnp.where(fract[:, None], 0.0, vel)
+            temp = jnp.where(fract, 0.0, temp)
+
+            pf_g = gather(primary_f)
+            fi_g, f_valid = take_rows(pf_g, f_cap)  # replicated event ranks
+            frag = _make_fragments(
+                key, cfg, f_valid,
+                gather(f_com)[fi_g], gather(f_bvel)[fi_g],
+                jnp.where(f_valid, gather(e_best)[fi_g], 0.0),
+                gather(f_tot)[fi_g], gather(f_temp)[fi_g],
+                gather(f_mat)[fi_g], gather(f_rsum)[fi_g],
+            )  # identical on every chip: same key, same replicated inputs
+
+            # global dead-slot census -> rank-scatter slot assignment,
+            # identical on every chip (nbx.collisions_scaled pattern)
+            mass_g2 = gather(mass)
+            fk = frag["mask"].shape[0]  # F * K
+            dead_g = mass_g2 <= 0.0
+            drank = jnp.cumsum(dead_g.astype(jnp.int32)) - 1
+            slot_of_rank = jnp.full((fk,), n, jnp.int32).at[
+                jnp.where(dead_g & (drank < fk), drank, fk)
+            ].set(col, mode="drop")
+            frank = jnp.cumsum(frag["mask"].astype(jnp.int32)) - 1
+            slot = jnp.where(
+                frag["mask"], slot_of_rank[jnp.clip(frank, 0, fk - 1)], n
+            )
+            placed = frag["mask"] & (slot < n)
+            # each chip writes only the fragments landing in ITS shard
+            lslot = jnp.where(
+                placed & (slot >= me * nl) & (slot < (me + 1) * nl),
+                slot - me * nl, nl,
+            )
+            mass = mass.at[lslot].set(frag["mass"], mode="drop")
+            pos = pos.at[lslot].set(frag["pos"], mode="drop")
+            vel = vel.at[lslot].set(frag["vel"], mode="drop")
+            temp = temp.at[lslot].set(frag["temp"], mode="drop")
+            mat = mat.at[lslot].set(frag["mat"], mode="drop")
+
+            touched = primary | killed | fract
+            touched = touched.at[lslot].set(True, mode="drop")
             partner_new = jnp.where(touched, -1, partner_new)
             t_new = jnp.where(touched, 0.0, t_new)
-            # merged bodies are NEWBORN: acc = 0 (index.html:217), so the
+            # merged/newborn bodies carry acc = 0 (index.html:217), so the
             # second half-kick skips them — the pre-merge acc includes the
             # dead partner's pull and would inject net momentum
             acc_new = jnp.where(touched[:, None], 0.0, acc_new)
@@ -417,8 +483,21 @@ def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
                 jnp.sum(primary.astype(jnp.int32)), "b"
             )
             n_bounce = jax.lax.psum(n_bounce, "b") // 2
+            # the fracture counters are replicated by construction (pure
+            # arithmetic on gathered data), but shard_map can't statically
+            # infer that — psum over the per-chip value / axis size proves it
+            n_fract = jax.lax.psum(
+                jnp.sum(primary_f.astype(jnp.int32)), "b"
+            )
+            n_dropped = (
+                (jnp.sum(pf_g.astype(jnp.int32))
+                 - jnp.sum(f_valid.astype(jnp.int32)))
+                + (jnp.sum(frag["mask"].astype(jnp.int32))
+                   - jnp.sum(placed.astype(jnp.int32)))
+            )
+            n_dropped = jax.lax.psum(n_dropped, "b") // jax.lax.axis_size("b")
             return (pos, vel, acc_new, mass, mat, temp, partner_new, t_new,
-                    n_merges, n_bounce)
+                    n_merges, n_bounce, n_fract, n_dropped)
 
         out = jax.shard_map(
             local,
@@ -429,12 +508,13 @@ def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
             ),
             out_specs=(
                 P("b", None), P("b", None), P("b", None), P("b"), P("b"),
-                P("b"), P("b"), P("b"), P(), P(),
+                P("b"), P("b"), P("b"), P(), P(), P(), P(),
             ),
         )(state.pos, state.vel, state.acc, state.mass, state.mat,
           state.temp, state.partner, state.contact_t)
         new_state = ShardedBodyState(*out[:8])
-        return new_state, {"n_merges": out[8], "n_bounces": out[9]}
+        return new_state, {"n_merges": out[8], "n_bounces": out[9],
+                           "n_fractures": out[10], "n_dropped": out[11]}
 
     return step
 

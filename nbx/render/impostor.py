@@ -111,6 +111,12 @@ def draw_impostors(
     reference surface model shades that pixel ONCE with the winner's
     parameters. Pixel-exact at any zoom (no tiles, no gaps); covered pixels
     REPLACE the HDR value (bodies are opaque).
+
+    Returns (img, depth): depth [H, W] is the winner's approximate front-
+    surface view depth (center z - radius/2), +inf where uncovered — the
+    z-buffer the additive splat passes depth-test against so glow behind an
+    opaque planet is hidden while sources in front still draw over it (the
+    occlusion the reference gets for free from its raster z-buffer).
     """
     from nbx.render.splat import project
 
@@ -219,4 +225,8 @@ def draw_impostors(
         + HEAT_COLOR * glow_body[..., None] * 0.6  # L194
     )
 
-    return jnp.where(covered[..., None], rgb.astype(img_hdr.dtype), img_hdr)
+    depth = jnp.where(
+        covered, take(zbuf) - 0.5 * b_rad, jnp.inf
+    )  # front-surface depth; own-center z fails z <= depth (self-cull)
+    img = jnp.where(covered[..., None], rgb.astype(img_hdr.dtype), img_hdr)
+    return img, depth

@@ -130,10 +130,11 @@ def spawn_smoke(p: ParticleState, body_pos, body_vel, radius, temp, alive
 @partial(jax.jit, static_argnames=("width", "height"))
 def splat_particles(
     img_hdr: jax.Array, p: ParticleState, cam, width: int = 640,
-    height: int = 360, gain: float = 0.5,
+    height: int = 360, gain: float = 0.5, depth=None,
 ) -> jax.Array:
     """Additive-blend point splat of live particles (the reference uses
-    AdditiveBlending Points, size 1.2, color 0xffaa44, L470-477)."""
+    AdditiveBlending Points, size 1.2, color 0xffaa44, L470-477). `depth`
+    [H, W] hides particles behind opaque impostor surfaces."""
     from nbx.render.splat import project
 
     px, py, z = project(cam, p.pos, width, height)
@@ -141,6 +142,10 @@ def splat_particles(
         (p.life > 0) & (z > 1e-3)
         & (px >= 0) & (px < width - 1) & (py >= 0) & (py < height - 1)
     )
+    if depth is not None:
+        xc = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+        yc = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+        visible = visible & (z <= depth[yc, xc])
     inten = jnp.where(visible, gain * p.life, 0.0)
     rgb = PARTICLE_COLOR[None, :] * inten[:, None]
     x0 = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)

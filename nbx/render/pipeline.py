@@ -56,17 +56,20 @@ def starfield_directions(key: int = 7, n: int = N_STARS) -> jax.Array:
 @partial(jax.jit, static_argnames=("width", "height"))
 def splat_starfield(
     img_hdr: jax.Array, dirs: jax.Array, cam: Camera,
-    width: int = 640, height: int = 360, gain: float = 0.22,
+    width: int = 640, height: int = 360, gain: float = 0.22, depth=None,
 ) -> jax.Array:
-    """Additive dim star points at infinity."""
+    """Additive dim star points at infinity (occluded by planet discs when
+    a `depth` buffer is passed — stars are at z ~ 1e6)."""
     from nbx.render.splat import project
 
     pos = cam.eye[None, :] + dirs * 1e6  # effectively at infinity
     px, py, z = project(cam, pos, width, height)
     vis = (z > 0) & (px >= 0) & (px < width - 1) & (py >= 0) & (py < height - 1)
-    inten = jnp.where(vis, gain, 0.0)
     x0 = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
     y0 = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+    if depth is not None:
+        vis = vis & (z <= depth[y0, x0])
+    inten = jnp.where(vis, gain, 0.0)
     return img_hdr.at[y0, x0].add(
         inten[:, None] * jnp.ones((1, 3)), mode="drop"
     )
@@ -119,27 +122,38 @@ def render_and_advance(
     spawn_mask = flat(events.spawn_mask)
     parts = particles_mod.spawn_explosions(parts, spawn_pos, spawn_mask)
 
-    hdr = splat_bodies_hdr(
-        state.pos, radius, state.temp, state.mat, state.alive, c1, c2, cam,
-        width=width, height=height,
-    )
-    if stars is not None:
-        hdr = splat_starfield(hdr, stars, cam, width=width, height=height)
-    hdr = trails_mod.splat_trails(
-        hdr, trails, radius, state.temp, state.mat, c1, c2, cam,
-        width=width, height=height,
-    )
-    hdr = particles_mod.splat_particles(hdr, parts, cam, width=width, height=height)
-
+    # Impostors draw FIRST and hand their z-buffer to every additive pass:
+    # splats/stars/trails/particles behind an opaque planet disc are hidden,
+    # sources in front still glow over it (the raster z-buffer the reference
+    # gets for free from WebGL).
+    depth = None
+    imp = None
     if n_impostors > 0:
         from nbx.render.impostor import draw_impostors
 
         # frame counter x dt = shader time (drives the spin, L549)
-        hdr = draw_impostors(
-            hdr, state.pos, radius, state.temp, state.mat, state.alive,
+        imp, depth = draw_impostors(
+            jnp.zeros((height, width, 3), jnp.float32),
+            state.pos, radius, state.temp, state.mat, state.alive,
             c1, c2, cam, frame.trails.head.astype(jnp.float32) * cfg.dt,
             width=width, height=height, n_impostors=n_impostors,
         )
+
+    hdr = splat_bodies_hdr(
+        state.pos, radius, state.temp, state.mat, state.alive, c1, c2, cam,
+        width=width, height=height, depth=depth,
+    )
+    if imp is not None:
+        hdr = hdr + imp  # imp is zero outside covered pixels
+    if stars is not None:
+        hdr = splat_starfield(hdr, stars, cam, width=width, height=height,
+                              depth=depth)
+    hdr = trails_mod.splat_trails(
+        hdr, trails, radius, state.temp, state.mat, c1, c2, cam,
+        width=width, height=height, depth=depth,
+    )
+    hdr = particles_mod.splat_particles(hdr, parts, cam, width=width,
+                                        height=height, depth=depth)
 
     flash_pos = jnp.concatenate([flat(events.merge_pos), flat(events.fracture_pos)])
     # merge flash energy = 0.5 * merged mass (L408); fracture = impact E (L358)

@@ -117,12 +117,14 @@ def screen_to_plane(
 @partial(jax.jit, static_argnames=("width", "height"))
 def splat_bodies_hdr(
     pos, radius, temp, mat, alive, color1, color2, cam,
-    width: int = 640, height: int = 360,
+    width: int = 640, height: int = 360, depth=None,
 ) -> jax.Array:
     """Body splats into a fresh HDR buffer (no tonemap) — the composition
-    primitive for the full frame pipeline."""
+    primitive for the full frame pipeline. `depth` [H, W] (from
+    draw_impostors) hides splats behind opaque impostor surfaces."""
     return _splat_bodies(
-        pos, radius, temp, mat, alive, color1, color2, cam, width, height
+        pos, radius, temp, mat, alive, color1, color2, cam, width, height,
+        depth,
     )
 
 
@@ -156,7 +158,7 @@ SUN_POS = jnp.array([50.0, 50.0, 50.0])  # DirectionalLight site (L737-741)
 
 
 def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
-                  width, height) -> jax.Array:
+                  width, height, depth=None) -> jax.Array:
     px, py, z = project(cam, pos, width, height)
     visible = (
         alive
@@ -166,6 +168,10 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
         & (py >= 0)
         & (py < height - 1)
     )
+    if depth is not None:  # z-test against opaque impostor surfaces
+        xc = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+        yc = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+        visible = visible & (z <= depth[yc, xc])
     col = body_color(temp, mat, color1, color2)  # [N, 3]
     # Sun-phase shading: the lit fraction of a sphere facing the camera is
     # (1 + cos(sun-body-eye angle)) / 2 — the splat-level stand-in for the

@@ -85,6 +85,7 @@ def splat_trails(
     gain: float = 0.10,
     n_along: int = 2,
     n_across: int = 5,
+    depth=None,
 ) -> jax.Array:
     """Additive tapered ribbon quads (L570-593 geometry, splat-filled).
 
@@ -134,6 +135,10 @@ def splat_trails(
         & (px >= 0) & (px < width - 1)
         & (py >= 0) & (py < height - 1)
     )
+    if depth is not None:  # z-test against opaque impostor surfaces
+        xc = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+        yc = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+        visible = visible & (z <= depth[yc, xc])
     col = body_color(temp, mat, color1, color2)  # [C, 3]
     # one segment's total energy ~ gain * taper * radius (the legacy point),
     # spread across its sub-point lattice

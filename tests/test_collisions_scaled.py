@@ -56,6 +56,58 @@ def test_kernel_matches_binned_resolver():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_banded_matches_full_column():
+    """k-banded layout reproduces the full-column kernel: same partner set
+    and bounce counts exactly, deltas to fp reduction-order tolerance —
+    including a band size that does not divide n_cells.
+
+    NOTE interpret mode unrolls the (blocks, 9) grid — keep n_cells tiny."""
+    pos, vel, mass = _granular_scene(n=128, seed=3)
+    radius = _radius(mass) * 1.5  # more overlaps
+    full = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=4, max_per_cell=64,
+        interpret=True,
+    )
+    for b in (2, 3):  # 3 does not divide 4
+        banded = binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=4, max_per_cell=64,
+            band_cells=b, interpret=True,
+        )
+        dv0, dp0, dt0, best0, nb0, ovf0, _ = full
+        dv1, dp1, dt1, best1, nb1, ovf1, _ = banded
+        assert int(nb1) == int(nb0) > 0, f"band_cells={b}"
+        # binning (and so overflow) is identical; parity holds for the
+        # bodies that made it into the table either way
+        assert int(ovf1) == int(ovf0)
+        np.testing.assert_array_equal(
+            np.asarray(best1["j"]), np.asarray(best0["j"])
+        )
+        np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dt1), np.asarray(dt0),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_banded_pair_straddles_band_boundary():
+    """An overlapping pair split across a k-band boundary is resolved via
+    the guard cells."""
+    g, b = 4, 2
+    cell = BOX / g
+    z = b * cell  # boundary between cells 1 and 2 = bands 0 and 1
+    pos = jnp.asarray([[30.0, 30, z - 0.4], [30.0, 30, z + 0.4]])
+    vel = jnp.asarray([[0.0, 0, 0.5], [0.0, 0, -0.5]])
+    mass = jnp.asarray([5.0, 5.0])
+    radius = jnp.asarray([0.6, 0.6])
+    *_, best, nb, _, _ = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=g, max_per_cell=8,
+        band_cells=b, interpret=True,
+    )
+    assert int(nb) == 1
+    assert int(best["j"][0]) == 1 and int(best["j"][1]) == 0
+
+
 def test_kernel_partner_detection():
     """Two overlapping approaching bodies report each other as deepest
     partner with symmetric Q/E."""

@@ -33,13 +33,12 @@ def _cam():
 
 def _render(body, time=0.0):
     img = jnp.zeros((H, W, 3), jnp.float32)
-    return np.asarray(
-        draw_impostors(
-            img, body["pos"], body["radius"], body["temp"], body["mat"],
-            body["alive"], body["color1"], body["color2"], _cam(), time,
-            width=W, height=H, n_impostors=4,
-        )
+    out, _ = draw_impostors(
+        img, body["pos"], body["radius"], body["temp"], body["mat"],
+        body["alive"], body["color1"], body["color2"], _cam(), time,
+        width=W, height=H, n_impostors=4,
     )
+    return np.asarray(out)
 
 
 def test_noise_range_and_determinism():
@@ -60,14 +59,18 @@ def test_disc_coverage_and_opacity():
     REPLACES the buffer (opaque), leaving the outside untouched."""
     body = _one_body(r=5.0)
     img = jnp.full((H, W, 3), 7.0, jnp.float32)  # sentinel background
-    out = np.asarray(
-        draw_impostors(
-            img, body["pos"], body["radius"], body["temp"], body["mat"],
-            body["alive"], body["color1"], body["color2"], _cam(), 0.0,
-            width=W, height=H, n_impostors=4,
-        )
+    out, depth = draw_impostors(
+        img, body["pos"], body["radius"], body["temp"], body["mat"],
+        body["alive"], body["color1"], body["color2"], _cam(), 0.0,
+        width=W, height=H, n_impostors=4,
     )
+    out, depth = np.asarray(out), np.asarray(depth)
     covered = np.any(out != 7.0, axis=-1)
+    # depth buffer: finite front-surface z on the disc, +inf elsewhere
+    assert np.isfinite(depth[covered]).all()
+    assert np.isinf(depth[~covered]).all()
+    # camera at z=40 looking at the origin: front surface ~ 40 - r/2..40 - r
+    assert 30.0 < depth[covered].min() <= 40.0
     # projected radius = r * focal / z; focal = (H/2)/tan(22.5deg)
     pr = 5.0 * (H / 2) / np.tan(np.deg2rad(22.5)) / 40.0
     area = covered.sum()
@@ -101,6 +104,39 @@ def test_magma_glow_follows_temperature():
     red_gain = hot[..., 0].sum() - cold[..., 0].sum()
     blue_gain = hot[..., 2].sum() - cold[..., 2].sum()
     assert red_gain > blue_gain
+
+
+def test_depth_buffer_occludes_splats():
+    """Splats of bodies BEHIND an impostor disc are hidden; bodies in FRONT
+    still draw (the z-buffer the reference gets from WebGL)."""
+    from nbx.render.splat import splat_bodies_hdr
+
+    body = _one_body(r=5.0)  # planet at origin, camera at z=40
+    _, depth = draw_impostors(
+        jnp.zeros((H, W, 3), jnp.float32),
+        body["pos"], body["radius"], body["temp"], body["mat"],
+        body["alive"], body["color1"], body["color2"], _cam(), 0.0,
+        width=W, height=H, n_impostors=4,
+    )
+
+    def splat_at(zpos):
+        pos = jnp.asarray([[0.0, 0.0, zpos]])
+        img = splat_bodies_hdr(
+            pos, jnp.asarray([0.5]), jnp.zeros(1), jnp.zeros(1, jnp.int32),
+            jnp.asarray([True]), body["color1"], body["color2"], _cam(),
+            width=W, height=H, depth=depth,
+        )
+        return float(jnp.sum(img))
+
+    assert splat_at(-20.0) == 0.0  # behind the planet: hidden
+    assert splat_at(20.0) > 0.0  # in front: visible
+    # the planet's own splat is self-culled inside its disc
+    own = splat_bodies_hdr(
+        body["pos"], body["radius"], body["temp"], body["mat"],
+        body["alive"], body["color1"], body["color2"], _cam(),
+        width=W, height=H, depth=depth,
+    )
+    assert float(jnp.sum(own)) == 0.0
 
 
 def test_nearest_body_wins_overlap():

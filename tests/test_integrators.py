@@ -60,6 +60,59 @@ def test_kepler_energy_conservation(e):
     assert drift < 1e-4, f"energy drift {drift}"
 
 
+def _fj_fn(mass, G, eps):
+    return lambda pos, vel: forces.acc_and_jerk(pos, mass, vel, G, eps)
+
+
+def test_hermite_fourth_order_and_beats_kdk():
+    """The 4th-order Hermite scheme: (a) error shrinks ~16x when h halves
+    (order 4), (b) at the same h it conserves energy far better than KDK on
+    an eccentric Kepler orbit."""
+    pos, vel, mass = _kepler_setup(e=0.6)
+    G = 0.5
+
+    def energy(pos_, vel_):
+        return forces.kinetic_energy(vel_, mass) + forces.potential_energy(
+            pos_, mass, G, 0.0
+        )
+
+    e0 = float(energy(pos, vel))
+
+    def hermite_drift(h, n):
+        s = integrators.init_hermite(pos, vel, _fj_fn(mass, G, 0.0))
+        _, es = integrators.run_hermite(
+            s, h, n, _fj_fn(mass, G, 0.0),
+            diagnostics=lambda st: energy(st.pos, st.vel),
+        )
+        return np.max(np.abs(np.asarray(es) - e0) / abs(e0))
+
+    d1 = hermite_drift(0.08, 4000)
+    d2 = hermite_drift(0.04, 8000)
+    assert d2 < d1 / 8.0, (d1, d2)  # ~16x for order 4; allow headroom
+
+    s = integrators.init_phase(pos, vel, _force_fn(mass, G, 0.0))
+    _, es = integrators.run(
+        s, 0.08, 4000, _force_fn(mass, G, 0.0), method="kdk",
+        diagnostics=lambda st: energy(st.pos, st.vel),
+    )
+    kdk_drift = np.max(np.abs(np.asarray(es) - e0) / abs(e0))
+    assert d1 < kdk_drift / 10.0, (d1, kdk_drift)
+
+
+def test_jerk_matches_finite_difference():
+    """acc_and_jerk's jerk equals d(acc)/dt along the actual velocities."""
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(0, 10, (16, 3)))
+    vel = jnp.asarray(rng.normal(0, 1, (16, 3)))
+    mass = jnp.asarray(rng.uniform(1, 5, 16))
+    G, eps = 0.5, 0.3
+    acc, jerk = forces.acc_and_jerk(pos, mass, vel, G, eps)
+    dt = 1e-6
+    acc2 = forces.accelerations(pos + vel * dt, mass, G, eps)
+    fd = (np.asarray(acc2) - np.asarray(acc)) / dt
+    np.testing.assert_allclose(np.asarray(jerk), fd, rtol=1e-4, atol=1e-6)
+
+
 def test_leapfrog_beats_euler():
     """Symplectic KDK conserves energy orders of magnitude better than
     explicit Euler at the same step size."""

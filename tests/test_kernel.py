@@ -7,7 +7,12 @@ import numpy as np
 import pytest
 
 from nbx import forces
-from nbx.ops.pairwise import pairwise_acc, potential_energy, potential_per_body
+from nbx.ops.pairwise import (
+    pairwise_acc,
+    pairwise_acc_jerk,
+    potential_energy,
+    potential_per_body,
+)
 
 
 def _rand(n, seed=0):
@@ -40,6 +45,42 @@ def test_rectangular_targets():
     )
     scale = float(jnp.abs(want).max())
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("n", [64, 300])
+def test_acc_jerk_matches_dense(n):
+    """The Hermite kernel's acc and jerk match the dense jnp formulation
+    (which is itself finite-difference gated, tests/test_integrators.py)."""
+    rng = np.random.default_rng(n)
+    pos = jnp.asarray(rng.normal(size=(n, 3)) * 20, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(n, 3)) * 2, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 5, n), jnp.float32)
+    want_a, want_j = forces.acc_and_jerk(pos, mass, vel, 0.5, 0.5)
+    got_a, got_j = pairwise_acc_jerk(
+        pos, mass, vel, 0.5, 0.5, tile_i=8, tile_j=128, interpret=True
+    )
+    sa = float(jnp.abs(want_a).max())
+    sj = float(jnp.abs(want_j).max())
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               atol=2e-3 * sa)
+    np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j),
+                               atol=2e-3 * sj)
+
+
+def test_acc_jerk_rectangular_targets():
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.normal(size=(300, 3)) * 20, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(300, 3)) * 2, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 5, 300), jnp.float32)
+    want_a, want_j = forces.acc_and_jerk(pos, mass, vel, 0.5, 0.5)
+    got_a, got_j = pairwise_acc_jerk(
+        pos, mass, vel, 0.5, 0.5, target_pos=pos[37:137],
+        target_vel=vel[37:137], tile_i=8, tile_j=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a[37:137]),
+                               atol=2e-3 * float(jnp.abs(want_a).max()))
+    np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j[37:137]),
+                               atol=2e-3 * float(jnp.abs(want_j).max()))
 
 
 def test_mass_zero_padding_is_inert():

@@ -144,7 +144,7 @@ def test_sharded_physics_bounce_and_heat(mesh):
 
     st = shard.shard_body_state(mesh, pos, vel, mass)
     step = shard.make_sharded_physics_step(mesh, cfg, impl="jnp")
-    st2, ev = step(st, 0.008)
+    st2, ev = step(st, 0.008, jax.random.PRNGKey(0))
     assert int(ev["n_bounces"]) == 1
     v = np.asarray(st2.vel)
     # impulse applied symmetrically: momentum conserved, speeds reduced
@@ -177,7 +177,7 @@ def test_sharded_merge_across_shards(mesh):
     step = shard.make_sharded_physics_step(mesh, cfg, impl="jnp")
     total_merges = 0
     for _ in range(40):  # gravity holds them together until the timer fires
-        st, ev = step(st, 0.016)
+        st, ev = step(st, 0.016, jax.random.PRNGKey(0))
         total_merges += int(ev["n_merges"])
         if total_merges:
             break
@@ -189,3 +189,72 @@ def test_sharded_merge_across_shards(mesh):
     np.testing.assert_allclose(p_tot, 0.0, atol=1e-3)
     pn = np.asarray(st.partner)
     assert pn[0] == -1 and float(np.asarray(st.contact_t)[0]) == 0.0
+
+
+def test_sharded_fracture_across_shards(mesh):
+    """A violent cross-shard impact fractures: both parents (on different
+    chips) die, momentum-conserving fragments are written into global dead
+    slots by the replicated rank-scatter allocation, and no mass is created
+    (reference index.html:411-443; docs/DESIGN.md sharded fractures)."""
+    from nbx.config import SimConfig
+
+    cfg = SimConfig(G=0.0, merge_time=1e9, fracture_threshold=0.5,
+                    min_fragment_mass=0.2)
+    n = 16
+    pos = np.full((n, 3), 500.0, np.float32)
+    pos += np.arange(n)[:, None] * 50.0
+    pos[0] = [0.0, 0.0, 0.0]
+    pos[15] = [1.2, 0.0, 0.0]
+    vel = np.zeros((n, 3), np.float32)
+    vel[0, 0] = 4.0
+    vel[15, 0] = -4.0
+    mass = np.zeros(n, np.float32)
+    mass[0] = mass[15] = 10.0
+
+    st = shard.shard_body_state(mesh, pos, vel, mass)
+    step = shard.make_sharded_physics_step(mesh, cfg, impl="jnp")
+    st, ev = step(st, 0.016, jax.random.PRNGKey(3))
+    assert int(ev["n_fractures"]) == 1
+    m = np.asarray(st.mass)
+    n_frag = int((m > 0).sum())
+    assert n_frag >= 3  # reference minimum fragment count (L418)
+    assert m.sum() <= 20.0 + 1e-4  # never creates mass
+    # fragment jets bound the residual momentum (see test_fracture_at_scale)
+    p1 = (m[:, None] * np.asarray(st.vel)).sum(0)
+    e_imp = 0.5 * (10.0 * 10.0 / 20.0) * 8.0**2  # mu/2 vn^2
+    assert np.abs(p1).max() < 20.0 * 1.5 * np.sqrt(e_imp / 20.0)
+    assert np.isfinite(np.asarray(st.pos)).all()
+    # fragments carry impact heat
+    assert float(np.asarray(st.temp)[m > 0].max()) > 0
+
+
+def test_sharded_fracture_matches_scaled_semantics(mesh):
+    """The sharded fracture fires under exactly the same gate as the
+    single-chip scaled path on the same scene (same q, same thresholds)."""
+    from nbx.collisions_scaled import make_granular_state, resolve_collisions_scaled
+    from nbx.config import SimConfig
+
+    cfg = SimConfig(G=0.0, merge_time=1e9, fracture_threshold=0.5,
+                    min_fragment_mass=0.2)
+    n = 16
+    pos = np.full((n, 3), 80.0, np.float32)
+    pos[0] = [30.0, 30, 30]
+    pos[15] = [31.2, 30, 30]
+    vel = np.zeros((n, 3), np.float32)
+    vel[0, 0] = 4.0
+    vel[15, 0] = -4.0
+    mass = np.zeros(n, np.float32)
+    mass[0] = mass[15] = 10.0
+
+    gst = make_granular_state(pos, vel, mass, key=3)
+    gst, gev = resolve_collisions_scaled(
+        gst, cfg, 0.016, 100.0, n_cells=8, max_per_cell=8, interpret=True
+    )
+    st = shard.shard_body_state(mesh, pos, vel, mass)
+    step = shard.make_sharded_physics_step(mesh, cfg, impl="jnp")
+    st, ev = step(st, 0.016, jax.random.PRNGKey(3))
+    assert int(ev["n_fractures"]) == int(gev.n_fractures) == 1
+    # same total fragment mass budget consumed (identical _make_fragments
+    # sampling is keyed differently, so compare conservation not draws)
+    assert float(np.asarray(st.mass).sum()) <= 20.0 + 1e-4
+    assert float(jnp.sum(gst.mass)) <= 20.0 + 1e-4

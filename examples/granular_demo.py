@@ -69,7 +69,7 @@ def main(n: int = 32768, n_frames: int = 60, out_dir: str = "/tmp/nbx_granular",
     for f in range(n_frames):
         st, totals = granular_full_kdk_scan(
             st, cfg, BOX, n_steps=steps_per_frame,
-            n_cells=28, max_per_cell=12, force_impl="auto",
+            n_cells=28, max_per_cell=12, band_cells=6, force_impl="auto",
         )
         for k in ("n_bounces", "n_merges", "n_fractures"):
             totals_sum[k] += int(totals[k])

@@ -8,7 +8,9 @@ merge/fracture/timers + thermal) per step at scale, for a sweep of
         [N] [scene] [force] [cfg ...]
     # scene: disk (contact-rich annulus) | cloud (uniform, exact binning)
     # force: zero (isolates the collision kernel) | pallas | pm | ...
-    # cfg:   g,K[,B]  e.g. 32,16,6  (B = band_cells, omit for full columns)
+    # cfg:   g,K[,B[,Tc,Sc]]  e.g. 32,16,6  (B = band_cells, omit for full
+    #        columns); Tc,Sc = band-PACKED per-window caps (target rows,
+    #        source lanes per neighbor window) — K is ignored when packed
 
 Methodology (CLAUDE.md): differential warmed-scan timing — warm the EXACT
 executables for both scan lengths, wall-clock each dispatch, materialize
@@ -73,11 +75,12 @@ def granular_cloud(n: int, seed: int = 0):
 
 
 def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
-                force_impl="pm", pm_grid=128):
+                force_impl="pm", pm_grid=128, packed=None):
     def run(steps):
         st, totals = granular_full_kdk_scan(
             st0, cfg, BOX, n_steps=steps, n_cells=g, max_per_cell=k,
-            band_cells=band, force_impl=force_impl, pm_grid=pm_grid,
+            band_cells=band, packed_caps=packed, force_impl=force_impl,
+            pm_grid=pm_grid,
         )
         np.asarray(st.pos)  # materialize = the only reliable sync
         return st, totals
@@ -105,10 +108,14 @@ def main(argv):
     cfgs = []
     for a in argv[3:]:
         parts = [int(x) for x in a.split(",")]
-        cfgs.append((parts[0], parts[1], parts[2] if len(parts) > 2 else None))
+        cfgs.append((
+            parts[0], parts[1],
+            parts[2] if len(parts) > 2 else None,
+            (parts[3], parts[4]) if len(parts) > 4 else None,
+        ))
     if not cfgs:
-        cfgs = [(32, 16, None), (32, 16, 6), (28, 12, None), (28, 12, 6),
-                (24, 16, 6), (16, 64, 2)]
+        cfgs = [(32, 16, None, None), (32, 16, 6, None), (28, 12, None, None),
+                (28, 12, 6, None), (24, 16, 6, None), (16, 64, 2, None)]
     if scene == "cloud":
         pos, vel, mass = granular_cloud(n)
     else:
@@ -116,11 +123,12 @@ def main(argv):
     st0 = make_granular_state(pos, vel, mass, key=0)
     cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.25,
                     fracture_threshold=8.0)
-    for g, k, band in cfgs:
-        ms, totals = time_config(st0, cfg, g, k, band, force_impl=force)
+    for g, k, band, packed in cfgs:
+        ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
+                                 packed=packed)
         print(json.dumps(dict(
             n=n, scene=scene, force=force,
-            n_cells=g, max_per_cell=k, band_cells=band,
+            n_cells=g, max_per_cell=k, band_cells=band, packed_caps=packed,
             ms_per_step=round(ms * 1e3, 2),
             n_overflow=totals["n_overflow"],
             cell_too_small=bool(totals["cell_too_small"]),

@@ -69,6 +69,42 @@ def load_state_orbax(dirpath: str) -> tuple[SimState, SimConfig | None]:
     return state, cfg
 
 
+def save_sharded_orbax(dirpath: str, state) -> None:
+    """Checkpoint a SHARDED state NamedTuple (nbx.parallel.shard
+    ShardedState / ShardedBodyState / GranularState on a mesh) via orbax.
+
+    orbax writes jax.Arrays shard-by-shard (multi-host aware), so an N=1M
+    state sharded over a slice never materializes on one host — the
+    production checkpoint path for BASELINE config 5. Restore with
+    load_sharded_orbax into any mesh of the same total shape."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(dirpath), dict(state._asdict()), force=True)
+    ckpt.wait_until_finished()
+
+
+def load_sharded_orbax(dirpath: str, like):
+    """Restore a sharded checkpoint INTO the sharding layout of `like` — a
+    same-structure state living on the target mesh (e.g. freshly built with
+    shard_body_state on zeros). Returns type(like)(**restored): each device
+    reads only its own shards, and the mesh may differ from the one that
+    saved (orbax reshards on read)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    abstract = {
+        k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=v.sharding)
+        for k, v in like._asdict().items()
+    }
+    ckpt = ocp.StandardCheckpointer()
+    payload = ckpt.restore(os.path.abspath(dirpath), abstract)
+    return type(like)(**payload)
+
+
 def save_state(path: str, state: SimState, cfg: SimConfig | None = None) -> None:
     """Snapshot a SimState (and optionally the dynamic config) to .npz."""
     arrays = {}

@@ -115,7 +115,8 @@ class ScaledEvents(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "max_per_cell", "band_cells", "interpret"),
+    static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
+                     "interpret"),
 )
 def resolve_collisions_scaled(
     state: GranularState,
@@ -125,6 +126,7 @@ def resolve_collisions_scaled(
     n_cells: int,
     max_per_cell: int = 16,
     band_cells: int | None = None,
+    packed_caps: tuple[int, int] | None = None,
     interpret: bool = False,
 ) -> tuple[GranularState, ScaledEvents]:
     """One full collision substep at scale (reference resolveCollisions,
@@ -139,7 +141,7 @@ def resolve_collisions_scaled(
         binned_collision_pass(
             state.pos, state.vel, state.mass, radius, box_size, n_cells,
             cfg.restitution, cfg.friction, max_per_cell, band_cells,
-            interpret,
+            packed_caps, interpret,
         )
     )
     pos = state.pos + dpos
@@ -282,8 +284,8 @@ def resolve_collisions_scaled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_steps", "n_cells", "max_per_cell", "band_cells", "force_impl",
-        "pm_grid", "interpret",
+        "n_steps", "n_cells", "max_per_cell", "band_cells", "packed_caps",
+        "force_impl", "pm_grid", "interpret",
     ),
 )
 def granular_full_kdk_scan(
@@ -294,6 +296,7 @@ def granular_full_kdk_scan(
     n_cells: int = 32,
     max_per_cell: int = 16,
     band_cells: int | None = None,
+    packed_caps: tuple[int, int] | None = None,
     force_impl: str = "auto",
     pm_grid: int = 128,
     interpret: bool = False,
@@ -335,7 +338,7 @@ def granular_full_kdk_scan(
         st = st._replace(pos=pos, vel=vel)
         st, ev = resolve_collisions_scaled(
             st, cfg, h, box_size, n_cells, max_per_cell, band_cells,
-            interpret,
+            packed_caps, interpret,
         )
         # slots reborn by merge/fracture are NEWBORN: acc = 0
         # (index.html:217) — their pre-event acc includes dead partners'

@@ -39,6 +39,30 @@ TPU-first structure (NOT a translation of the scalar sweep):
     scalar prefetch is needed. Measured motivation: at (32, 16) the
     prefetch-driven 9-revisit banded grid ran 55k programs and grid
     overhead ate most of the 3.5x pair-work cut.
+  * band-PACKED layout (packed_caps=(Tc, Sc)): the banded layouts above
+    reserve K slots per CELL, but cells average ~4-8 bodies at production
+    grids while K must cover the per-cell occupancy TAIL (K=16) — most of
+    every block is dead lanes. The packed layout drops per-cell slots
+    entirely: Tc caps each b-cell target window, and ONE shared cap Sc
+    covers a program's whole fused source neighborhood (9 columns x
+    guarded (b+2)-cell strips). Occupancy fluctuations average over the
+    window's cells — and over the neighborhood's 27-54 cells for Sc — so
+    caps sit near the window MEAN instead of ~4x the per-cell tail: a
+    measured ~2.3x pair-work cut over the banded layout at equal coverage.
+    CONSTRUCTION IS BY CHUNK GATHER: cell_sort keeps k minor within a
+    column, so every guarded window is a contiguous run of the sorted
+    order. The strips are materialized ONCE per (column, band) by a
+    consecutive-index row gather (~1.25 N rows), transposed to [16, Sc],
+    and the fused source blocks then gather whole multi-KB strip CHUNKS
+    via stripsT[neigh] — large contiguous copies that stream at HBM
+    bandwidth, instead of 64-byte body rows. Measured alternatives, both
+    worse at 131k: per-row window gathers of the fused [blocks, 16, S]
+    blocks cost 39 ms (more than the kernel they feed); per-body
+    destination-slot SCATTERS (<= 27 row scatters) cost ~360 ms — XLA TPU
+    scatter serializes (the same lesson as the rank-scatter rule in
+    CLAUDE.md). Windows exceeding a cap drop bodies (targets) or miss
+    partners (sources); both are counted into n_overflow (no-silent-caps),
+    zero on sane caps.
   * both ordered copies of each pair are processed (i as target of j and
     vice versa), each side accumulating its own half of the impulse — the
     Jacobi application, same divergence note as nbx.collisions.
@@ -56,7 +80,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbx.ops.p3m import cell_bin
+from nbx.ops.p3m import cell_bin, cell_sort
 
 LANE = 128
 CORRECTION = 0.8  # Baumgarte factor (index.html:350)
@@ -76,7 +100,10 @@ def _collide_kernel(neigh_ref, par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     src_ref   [16, T]  source cols: same features transposed, lanes = bodies
     par_ref   [1, 2]   SMEM: restitution, friction
     delta_ref [T, 8]   += dvx dvy dvz dpx dpy dpz heat n_bounce
-    evt_ref   [T, 8]   max-depth merge: depth j_gidx vn Q E m_j approaching 0
+    evt_ref   [T, 8]   max-depth merge: depth j_gidx 0... — the partner's
+                       pair quantities (vn, Q, E, m_j, approaching) are
+                       recomputed O(N) in the XLA epilogue from (i, j),
+                       keeping the O(N S) kernel lean
     """
     o = pl.program_id(1)
 
@@ -169,22 +196,15 @@ def _collide_kernel(neigh_ref, par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     has = dmax > 0.0
     cand = overlap & (depth >= dmax)
     # tie-break by smallest source gidx; each body appears at most once
-    # across the 9 source columns, so `pick` has exactly one lane set
+    # across the 9 source columns, so the pick is unique
     gjb = gj + jnp.zeros_like(depth)
     jsel = jnp.min(jnp.where(cand, gjb, _BIG), axis=1, keepdims=True)
-    pick = cand & (gjb <= jsel)
-    sel = lambda m: jnp.sum(jnp.where(pick, m, 0.0), axis=1, keepdims=True)
-    q_full = e_full / safe_ms  # specific energy (L338)
+    z8 = jnp.zeros_like(dmax)
     new = jnp.concatenate(
         [
             jnp.where(has, dmax, DEPTH_SENTINEL),
             jnp.where(has, jsel, -1.0),
-            sel(vn),
-            sel(q_full),
-            sel(e_full),
-            sel(mj + jnp.zeros_like(depth)),
-            sel(jnp.where(vn < 0.0, 1.0, 0.0)),
-            jnp.zeros_like(dmax),
+            z8, z8, z8, z8, z8, z8,
         ],
         axis=1,
     )
@@ -276,28 +296,21 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
         [dvx, dvy, dvz, dpx, dpy, dpz, heat, n_b], axis=1
     )
 
-    # ---- deepest-overlap partner (feeds the at-scale contact timers) ------
+    # ---- deepest-overlap partner (feeds the at-scale contact timers); the
+    # winner's pair quantities are recomputed O(N) in the XLA epilogue ----
     depth = jnp.where(overlap, min_d - dist, DEPTH_SENTINEL)
     dmax = jnp.max(depth, axis=1, keepdims=True)  # [T, 1]
     has = dmax > 0.0
     cand = overlap & (depth >= dmax)
-    # tie-break by smallest source gidx; each body appears at most once in
-    # the fused neighborhood, so `pick` has exactly one lane set
+    # tie-break by smallest source gidx
     gjb = gj + jnp.zeros_like(depth)
     jsel = jnp.min(jnp.where(cand, gjb, _BIG), axis=1, keepdims=True)
-    pick = cand & (gjb <= jsel)
-    sel = lambda m: jnp.sum(jnp.where(pick, m, 0.0), axis=1, keepdims=True)
-    q_full = e_full * r_ms  # specific energy (L338)
+    z8 = jnp.zeros_like(dmax)
     evt_ref[:] = jnp.concatenate(
         [
             jnp.where(has, dmax, DEPTH_SENTINEL),
             jnp.where(has, jsel, -1.0),
-            sel(vn),
-            sel(q_full),
-            sel(e_full),
-            sel(mj + jnp.zeros_like(depth)),
-            sel(jnp.where(vn < 0.0, 1.0, 0.0)),
-            jnp.zeros_like(dmax),
+            z8, z8, z8, z8, z8, z8,
         ],
         axis=1,
     )
@@ -334,7 +347,8 @@ def _column_neighbors(g: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "max_per_cell", "band_cells", "interpret"),
+    static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
+                     "interpret"),
 )
 def binned_collision_pass(
     pos,  # [N, 3] — binning domain [0, box)^3 (out-of-box clipped to faces)
@@ -347,6 +361,7 @@ def binned_collision_pass(
     friction=0.5,
     max_per_cell: int = 16,
     band_cells: int | None = None,
+    packed_caps: tuple[int, int] | None = None,
     interpret: bool = False,
 ):
     """One fused collision sweep over the 27-cell neighborhoods.
@@ -362,13 +377,20 @@ def binned_collision_pass(
     overlap from >1 cell apart in k are missed — exactly the regime the
     flag already marks as unreliable), floating-point differences only from
     the narrower reduction width.
+
+    packed_caps=(target_cap, source_cap) (requires band_cells) switches to
+    the band-PACKED layout (module docstring): target_cap body rows per
+    b-cell target window, source_cap lanes per (b+2)-cell guarded source
+    strip (9 strips make a program's fused source block). max_per_cell is
+    IGNORED (no per-cell slots exist); n_overflow counts window-cap
+    violations instead (target drops + missed source slots) and is 0
+    whenever the caps cover every window.
     """
     n = pos.shape[0]
     g = n_cells
     k = max_per_cell
     n_cols = g * g
 
-    table, _, n_overflow = cell_bin(pos, box_size, g, k)
     cell_too_small = 2.0 * jnp.max(radius) > box_size / g
     feats = _body_feats(pos, vel, mass, radius, box_size)
     neigh = _column_neighbors(g)
@@ -376,6 +398,122 @@ def binned_collision_pass(
 
     par = jnp.asarray([[restitution, friction]], f32)
     pair_ops = 60  # ~VPU ops per pair evaluation
+
+    if packed_caps is not None:
+        if band_cells is None:
+            raise ValueError("packed_caps requires band_cells")
+        b = band_cells
+        t_cap, s_cap = packed_caps
+        n_bands = -(-g // b)
+        t_rows = _round_up(max(t_cap, 8), 8)
+        s_capw = max(s_cap, 8)  # per-strip lanes (no alignment needed)
+        s_rows = _round_up(9 * s_capw, LANE)
+        n_tblocks = n_cols * n_bands
+        i32 = jnp.int32
+
+        order, starts, _ = cell_sort(pos, box_size, g)
+        # [n + 1, 16] in cell order, row n dead — the one per-row gather
+        feats_sorted = jnp.concatenate(
+            [feats[order], feats[n:]], axis=0
+        )
+
+        # ---- window tables (per column x band) ---------------------------
+        cols = jnp.arange(n_cols, dtype=i32)
+        w_r = jnp.arange(n_bands, dtype=i32)
+        # target window: cells [w b, min((w+1) b, g))
+        ts_tab = starts[cols[:, None] * g + w_r[None, :] * b]
+        te_tab = starts[
+            cols[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+        ]
+        cnt_t = te_tab - ts_tab
+        n_t_over = jnp.sum(jnp.maximum(cnt_t - t_rows, 0))
+        # guarded source window: cells [max(w b - 1, 0), min(w b + b + 1, g))
+        ss_tab = starts[
+            cols[:, None] * g + jnp.maximum(w_r[None, :] * b - 1, 0)
+        ]
+        se_tab = starts[
+            cols[:, None] * g + jnp.minimum(w_r[None, :] * b + b + 1, g)
+        ]
+        n_s_over = jnp.sum(jnp.maximum(se_tab - ss_tab - s_capw, 0))
+        n_overflow = n_t_over + n_s_over
+
+        # ---- targets: consecutive-run row gather + body-id table ---------
+        ar_t = jnp.arange(t_rows, dtype=i32)
+        valid_t = ar_t[None, None, :] < jnp.minimum(cnt_t, t_rows)[..., None]
+        take_t = ts_tab[..., None] + ar_t
+        tgt = feats_sorted[
+            jnp.where(valid_t, jnp.minimum(take_t, n), n).reshape(-1)
+        ]
+        flat_idx = jnp.where(
+            valid_t, jnp.take(order, take_t, mode="fill", fill_value=n), n
+        ).reshape(-1)
+
+        # ---- sources: strips once, then whole-chunk fusion ---------------
+        ar_s = jnp.arange(s_capw, dtype=i32)
+        valid_s = (
+            ar_s[None, None, :]
+            < jnp.minimum(se_tab - ss_tab, s_capw)[..., None]
+        )
+        take_s = ss_tab[..., None] + ar_s
+        strips = feats_sorted[
+            jnp.where(valid_s, jnp.minimum(take_s, n), n)
+        ]  # [n_cols, n_bands, s_capw, 16]
+        stripsT = strips.transpose(0, 1, 3, 2)  # [.., 16, s_capw]
+        dead_strip = jnp.broadcast_to(
+            feats[n][:, None], (1, n_bands, 16, s_capw)
+        )
+        stripsT = jnp.concatenate([stripsT, dead_strip], axis=0)
+        # chunk gather: 9 neighbor strips per (column, band), each a
+        # contiguous (16 * s_capw)-float copy — streams at HBM bandwidth
+        fused = stripsT[neigh]  # [n_cols, 9, n_bands, 16, s_capw]
+        fused = fused.transpose(0, 2, 3, 1, 4).reshape(
+            n_cols, n_bands, 16, 9 * s_capw
+        )
+        lane_pad = jnp.broadcast_to(
+            feats[n][:, None],
+            (n_cols, n_bands, 16, s_rows - 9 * s_capw),
+        )
+        src = jnp.concatenate([fused, lane_pad], axis=3).reshape(-1, s_rows)
+
+        delta, evt = pl.pallas_call(
+            _collide_kernel_fused,
+            grid=(n_tblocks,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=pair_ops * n_tblocks * t_rows * s_rows,
+                bytes_accessed=(n_tblocks * (t_rows * 16 + s_rows * 16
+                                             + t_rows * 16)) * 4,
+                transcendentals=n_tblocks * t_rows * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(par, tgt, src)
+        return _collide_epilogue(
+            delta, evt, flat_idx, pos, vel, mass, n, n_overflow,
+            cell_too_small,
+        )
+
+    table, _, n_overflow = cell_bin(pos, box_size, g, k)
 
     if band_cells is None:
         # ---- full-column layout: blocks are whole columns, grid (cols, 9),
@@ -523,7 +661,18 @@ def binned_collision_pass(
             interpret=interpret,
         )(par, tgt, src)
 
-    # scatter back to body order (each live body appears exactly once)
+    return _collide_epilogue(
+        delta, evt, flat_idx, pos, vel, mass, n, n_overflow, cell_too_small
+    )
+
+
+def _collide_epilogue(
+    delta, evt, flat_idx, pos, vel, mass, n, n_overflow, cell_too_small
+):
+    """Scatter kernel outputs back to body order and rebuild the per-body
+    deepest-partner record. Each live body appears at most once as a target
+    across all blocks (exactly once unless dropped by a packed target cap)."""
+    f32 = jnp.float32
     out_d = jnp.zeros((n + 1, 8), f32).at[flat_idx].add(delta, mode="drop")
     out_e = (
         jnp.full((n + 1, 8), DEPTH_SENTINEL, f32)
@@ -535,13 +684,27 @@ def binned_collision_pass(
     dtemp = out_d[:n, 6]
     n_bounces = (jnp.sum(out_d[:n, 7]) / 2.0).astype(jnp.int32)
 
+    # ---- recompute the winner's pair quantities O(N) from (i, j) ----------
+    # The kernel only reports (depth, j); vn/Q/E/m_j/approaching follow from
+    # the PRE-PASS state exactly as the kernel would have computed them
+    # (same formulas; fp association may differ in the last ulp).
     has = out_e[:n, 0] > 0.0
+    j_idx = jnp.where(has, out_e[:n, 1].astype(jnp.int32), -1)
+    jc = jnp.clip(j_idx, 0, n - 1)
+    d = pos[jc] - pos
+    r2b = jnp.sum(d * d, axis=-1)
+    invb = jax.lax.rsqrt(jnp.where(r2b > 0.0, r2b, 1.0))
+    vnb = jnp.sum((vel[jc] - vel) * d, axis=-1) * invb
+    m_j = mass[jc]
+    m_sum = mass + m_j
+    r_msb = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)
+    e_b = 0.5 * (mass * m_j * r_msb) * vnb * vnb  # impact energy (L333)
     best = dict(
-        j=jnp.where(has, out_e[:n, 1].astype(jnp.int32), -1),
-        vn=jnp.where(has, out_e[:n, 2], 0.0),
-        q=jnp.where(has, out_e[:n, 3], 0.0),
-        energy=jnp.where(has, out_e[:n, 4], 0.0),
-        m_j=jnp.where(has, out_e[:n, 5], 0.0),
-        approaching=has & (out_e[:n, 6] > 0.5),
+        j=j_idx,
+        vn=jnp.where(has, vnb, 0.0).astype(f32),
+        q=jnp.where(has, e_b * r_msb, 0.0).astype(f32),  # L338
+        energy=jnp.where(has, e_b, 0.0).astype(f32),
+        m_j=jnp.where(has, m_j, 0.0).astype(f32),
+        approaching=has & (vnb < 0.0),
     )
     return dvel, dpos, dtemp, best, n_bounces, n_overflow, cell_too_small

@@ -50,6 +50,29 @@ from jax.scipy.special import erfc
 from nbx.ops.pm import _cic_window, cic_deposit, cic_gather, _kvec
 
 
+def cell_sort(pos, box_size: float, n_cells: int):
+    """Sort bodies by cell id, k (the z cell coordinate) MINOR within each
+    (i, j) column — so any k-window of cells within a column is one
+    CONTIGUOUS run of the sorted order (the property the band-packed
+    collision layout builds on, nbx.ops.collide).
+
+    Returns (order [N] i32, starts [g^3 + 1] i32, cid_sorted [N] i32):
+    bodies of cell c are order[starts[c] : starts[c + 1]], and bodies of
+    cells [c0, c1) of one column are order[starts[c0] : starts[c1]].
+    """
+    n = pos.shape[0]
+    g = n_cells
+    h = box_size / g
+    ijk = jnp.clip((pos / h).astype(jnp.int32), 0, g - 1)
+    cid = (ijk[:, 0] * g + ijk[:, 1]) * g + ijk[:, 2]  # [N]
+    order = jnp.argsort(cid).astype(jnp.int32)
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(
+        cid_sorted, jnp.arange(g * g * g + 1)
+    ).astype(jnp.int32)
+    return order, starts, cid_sorted
+
+
 def cell_bin_full(pos, box_size: float, n_cells: int, max_per_cell: int):
     """Bin bodies into an [n_cells^3] grid of cubic cells.
 
@@ -61,22 +84,15 @@ def cell_bin_full(pos, box_size: float, n_cells: int, max_per_cell: int):
     """
     n = pos.shape[0]
     g = n_cells
-    h = box_size / g
-    ijk = jnp.clip((pos / h).astype(jnp.int32), 0, g - 1)
-    cid = (ijk[:, 0] * g + ijk[:, 1]) * g + ijk[:, 2]  # [N]
-    order = jnp.argsort(cid).astype(jnp.int32)
-    cid_sorted = cid[order]
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
     # rank of each body within its cell
-    start_of_cell = jnp.searchsorted(cid_sorted, jnp.arange(g * g * g)).astype(
-        jnp.int32
-    )
-    rank = jnp.arange(n, dtype=jnp.int32) - start_of_cell[cid_sorted]
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted]
     ok = rank < max_per_cell
     table = jnp.full((g * g * g, max_per_cell), n, jnp.int32)
     table = table.at[cid_sorted, jnp.where(ok, rank, max_per_cell)].set(
         order, mode="drop"
     )
-    counts = jnp.zeros((g * g * g,), jnp.int32).at[cid].add(1)
+    counts = starts[1:] - starts[:-1]
     n_overflow = n - jnp.sum(ok.astype(jnp.int32))
     dropped = jnp.zeros((n,), bool).at[order].set(~ok)
     return table, counts, n_overflow, dropped
@@ -204,7 +220,7 @@ def short_range_acc(
 
 def _residual_short_acc(
     pos, mass, G, a, eps, box_size: float, n_cells: int, table,
-    res_idx, res_valid, chunk: int = 256,
+    res_idx, res_valid, chunk: int = 256, include_rr: bool = True,
 ):
     """Short-range correction for bodies dropped from the cell table.
 
@@ -214,7 +230,9 @@ def _residual_short_acc(
       * a vs its 27-neighborhood's TABLE bodies ([M, 27K] blocks), with the
         equal-and-opposite reaction scatter-added onto the table bodies;
       * a vs the other dropped bodies (dense [M, M], both ordered copies
-        present so no separate reaction is needed).
+        present so no separate reaction is needed) — skipped when
+        include_rr=False (the two-level path solves residual-residual on a
+        refined submesh instead, _residual_rr_twolevel).
 
     Pairs beyond the neighborhood are ~0 by the erfc cutoff — the same
     approximation the main pass makes. Cost O(M_actual (27K + M_cap)):
@@ -279,11 +297,12 @@ def _residual_short_acc(
         acc_r = jnp.einsum("ck,ckd->cd", w * sm, d)
         # reaction on the table sources: -w * m_res * d
         react = -(w * m_c[:, None])[..., None] * d  # [c, 27K, 3]
-        # residual-residual (both directions present across rows)
-        drr = pr[None, :, :] - p_c[:, None, :]  # [c, M, 3]
-        wrr, _ = w_of(drr)
-        wrr = wrr * jnp.where(live[:, None], 1.0, 0.0)
-        acc_r = acc_r + jnp.einsum("ck,ckd->cd", wrr * mr[None, :], drr)
+        if include_rr:
+            # residual-residual (both directions present across rows)
+            drr = pr[None, :, :] - p_c[:, None, :]  # [c, M, 3]
+            wrr, _ = w_of(drr)
+            wrr = wrr * jnp.where(live[:, None], 1.0, 0.0)
+            acc_r = acc_r + jnp.einsum("ck,ckd->cd", wrr * mr[None, :], drr)
         return acc_r, react, src
 
     n_chunks = (m + chunk - 1) // chunk
@@ -315,10 +334,109 @@ def _residual_short_acc(
     return acc[:n]
 
 
+def _residual_rr_twolevel(
+    pos, mass, G, eps, a0, res_idx, res_valid,
+    sub_g: int = 64, sub_cells: int = 16, sub_k: int = 64,
+):
+    """Residual-residual short-range term on a REFINED submesh — the
+    two-level P3M that replaces the dense [M, M] block of
+    _residual_short_acc for large overflows (ROADMAP: clustered cores).
+
+    The level-0 short kernel splits once more at the submesh scale a1:
+
+        erfc(r/a0)/r = [erf(r/a1) - erf(r/a0)]/r   (band -> submesh FFT)
+                     + erfc(r/a1)/r                (short1 -> fine binned PP)
+
+    The submesh is a cube centered dynamically on the residual bodies and
+    sized to their extent: grid RESOLUTION is static, the physical size is
+    a traced value (XLA shapes never depend on the data), so the same
+    executable serves a tight core or a scattered overflow — for scattered
+    residuals a1 >= a0 and the band just carries a negative correction
+    (the split identity holds for any a1 > 0). Real bodies stay >= 1 cell
+    from the submesh boundary (size margin), so the boundary face cells are
+    free to park the dead padding rows without evicting live table slots.
+
+    Restricted to the residual SET, exactly like the dense block it
+    replaces. Cost O(sub_g^3 log + M 27 K1) vs O(M^2): the measured 7.3 s
+    dense term at M ~ 29k becomes a fixed ~sub-second pass.
+    Returns ([N, 3] delta, n_sub_uncorrected).
+    """
+    from jax.scipy.special import erf
+
+    n = pos.shape[0]
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3))], 0)
+    mass_p = jnp.concatenate([mass, jnp.zeros((1,))], 0)
+    ridx_p = jnp.where(res_valid, res_idx, n)
+    pr = pos_p[ridx_p]  # [M, 3]
+    mr = jnp.where(res_valid, mass_p[ridx_p], 0.0)
+
+    count = jnp.maximum(jnp.sum(res_valid.astype(jnp.float32)), 1.0)
+    c = jnp.sum(jnp.where(res_valid[:, None], pr, 0.0), 0) / count
+    half = jnp.max(jnp.where(res_valid[:, None], jnp.abs(pr - c), 0.0))
+    l1 = jnp.maximum(2.0 * half, 1e-3) * (sub_cells / (sub_cells - 2.5))
+    q = pr - c + 0.5 * l1
+    # park invalid rows spread over the (real-free) far x face
+    t = jnp.arange(q.shape[0], dtype=jnp.float32)
+    park = jnp.stack(
+        [jnp.full_like(t, 0.9995) * l1,
+         jnp.mod(t * 0.6180339887, 1.0) * l1,
+         jnp.mod(t * 0.3819660113, 1.0) * l1],
+        axis=1,
+    )
+    q = jnp.where(res_valid[:, None], q, park)
+    a1 = l1 / sub_cells / 3.0  # same a = cell/3 convention as level 0
+
+    # ---- band term on the submesh (vacuum Hockney, traced size) ----------
+    rho = cic_deposit(q, mr, l1, sub_g, periodic=False)
+    gp = 2 * sub_g
+    h1 = l1 / sub_g
+    rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[
+        :sub_g, :sub_g, :sub_g
+    ].set(rho)
+    idx = jnp.arange(gp)
+    d1 = jnp.minimum(idx, gp - idx).astype(jnp.float32) * h1
+    r = jnp.sqrt(
+        d1[:, None, None] ** 2 + d1[None, :, None] ** 2
+        + d1[None, None, :] ** 2
+    )
+    safe_r = jnp.where(r > 0, r, 1.0)
+    band0 = 2.0 / jnp.sqrt(jnp.pi) * (1.0 / a1 - 1.0 / jnp.asarray(a0))
+    green = jnp.where(
+        r > 0, -(erf(r / a1) - erf(r / jnp.asarray(a0))) / safe_r, -band0
+    )
+    phi_hat = jnp.fft.fftn(rho_p) * jnp.fft.fftn(green) * G
+    # fftfreq with a traced spacing: scale the static unit frequencies
+    k1 = (2.0 * jnp.pi * jnp.fft.fftfreq(gp).astype(jnp.float32)) / h1
+    kx = k1[:, None, None]
+    ky = k1[None, :, None]
+    kz = k1[None, None, :]
+    phi_hat = phi_hat / _cic_window(gp) ** 2
+    ax = jnp.real(jnp.fft.ifftn(1j * kx * phi_hat))
+    ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
+    az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
+    acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:sub_g, :sub_g, :sub_g]
+    acc_band = cic_gather(acc_grid, q, l1, sub_g, periodic=False)
+
+    # ---- short1: fine binned PP among the residual rows -------------------
+    table1, _, _, dropped1 = cell_bin_full(q, l1, sub_cells, sub_k)
+    acc_s1, _ = short_range_acc(
+        q, mr, G, a1, l1, sub_cells, sub_k, eps,
+        table=table1, n_overflow=jnp.int32(0),
+    )
+    n_sub = jnp.sum((dropped1 & res_valid).astype(jnp.int32))
+
+    acc = jnp.zeros((n + 1, 3), jnp.float32)
+    acc = acc.at[ridx_p].add(
+        jnp.where(res_valid[:, None], acc_band + acc_s1, 0.0), mode="drop"
+    )
+    return acc[:n], n_sub
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("g", "n_cells", "max_per_cell", "max_residual",
-                     "deconvolve"),
+                     "deconvolve", "residual_mode", "sub_g", "sub_cells",
+                     "sub_k"),
 )
 def p3m_acceleration(
     pos: jax.Array,  # [N, 3] in [0, box/2)^3 (isolated convention)
@@ -331,6 +449,10 @@ def p3m_acceleration(
     eps=0.0,
     max_residual: int = 2048,
     deconvolve: bool = True,
+    residual_mode: str = "dense",
+    sub_g: int = 64,
+    sub_cells: int = 16,
+    sub_k: int = 64,
 ):
     """Isolated-boundary P3M acceleration, [N, 3]. Returns
     (acc, n_uncorrected).
@@ -345,13 +467,16 @@ def p3m_acceleration(
     force. n_uncorrected counts bodies beyond that cap (0 = every body got
     its full short-range term); it is the value to gate on.
 
-    Cost envelope: the residual pass is O(M * 27K + M^2) with M the
-    overflow count — the M^2 residual-residual term is DENSE (measured
-    ~1.7e9 erfc-pairs/s on v5e: M = 16k ~ 0.15 s, M = 131k ~ 10 s). Size
-    max_residual for cluster cores (tens of thousands), not for scenes
-    whose bulk overflows; if most of a 1M-body scene is inside a few cells
-    (a deep Plummer core), the uniform-cell premise is gone — raise
-    max_per_cell, shrink cells, or use the direct/tree paths instead.
+    residual_mode picks the residual-residual solver:
+      'dense'    exact [M, M] block — right up to a few thousand overflow
+                 bodies (measured ~1.7e9 erfc-pairs/s on v5e: M = 16k
+                 ~ 0.15 s, M = 29k ~ 7 s at 1M total).
+      'twolevel' TWO-LEVEL P3M: a refined submesh over the residual set
+                 (band kernel FFT + fine binned PP, _residual_rr_twolevel)
+                 replaces the M^2 block with an O(M) pass at ~PM-level
+                 accuracy for those pairs; sub_g/sub_cells/sub_k size the
+                 submesh. n_uncorrected then also counts residual bodies
+                 dropped from the FINE binning (the no-silent-caps rule).
     """
     cell = box_size / n_cells
     a = cell / 3.0
@@ -396,9 +521,20 @@ def p3m_acceleration(
     # ---- adaptive residual: overflowing bodies get an exact pass ----------
     res_idx, res_valid = take_rows(dropped, max_residual)
     acc_res = _residual_short_acc(
-        pos, mass, G, a, eps, box_size, n_cells, table, res_idx, res_valid
+        pos, mass, G, a, eps, box_size, n_cells, table, res_idx, res_valid,
+        include_rr=(residual_mode == "dense"),
     )
     n_uncorrected = jnp.maximum(n_overflow - max_residual, 0)
+    if residual_mode == "twolevel":
+        acc_rr, n_sub = _residual_rr_twolevel(
+            pos, mass, G, eps, a, res_idx, res_valid, sub_g, sub_cells,
+            sub_k,
+        )
+        acc_res = acc_res + acc_rr
+        n_uncorrected = n_uncorrected + n_sub
+    elif residual_mode != "dense":
+        raise ValueError(f"residual_mode must be dense|twolevel, got "
+                         f"{residual_mode!r}")
     return acc_long + acc_short + acc_res, n_uncorrected
 
 

@@ -69,3 +69,36 @@ def test_orbax_roundtrip(tmp_path):
     a, _ = sim.step(st2, cfg2)
     b, _ = sim.step(st, cfg)
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_sharded_orbax_roundtrip(tmp_path):
+    """A mesh-sharded full-physics state checkpoints shard-by-shard and
+    restores bit-exactly into a fresh mesh layout, shardings preserved."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+    import jax.numpy as jnp
+
+    from nbx.parallel import shard
+
+    mesh = shard.make_mesh(8)
+    rng = np.random.default_rng(0)
+    n = 64
+    st = shard.shard_body_state(
+        mesh,
+        rng.normal(0, 10, (n, 3)).astype(np.float32),
+        rng.normal(0, 1, (n, 3)).astype(np.float32),
+        rng.uniform(1, 5, n).astype(np.float32),
+    )
+    st = st._replace(temp=st.temp + 3.0)
+    d = str(tmp_path / "sharded_ckpt")
+    checkpoint.save_sharded_orbax(d, st)
+
+    like = shard.shard_body_state(
+        mesh, jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros(n)
+    )
+    st2 = checkpoint.load_sharded_orbax(d, like)
+    assert isinstance(st2, shard.ShardedBodyState)
+    for a, b in zip(st, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert st2.pos.sharding == like.pos.sharding
+    assert st2.mass.sharding == like.mass.sharding

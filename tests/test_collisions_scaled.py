@@ -90,6 +90,70 @@ def test_banded_matches_full_column():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_packed_matches_banded():
+    """Band-PACKED layout (per-window caps off cell_sort, no per-cell
+    slots) reproduces the banded kernel: same partner set and bounce
+    counts, deltas to fp tolerance; generous caps -> zero overflow."""
+    pos, vel, mass = _granular_scene(n=128, seed=3)
+    mass = mass.at[-16:].set(0.0)  # dead slots share the box
+    radius = _radius(mass) * 1.5
+    for b in (2, 3):  # 3 does not divide 4
+        # max_per_cell=128 = N: the banded table cannot overflow (the
+        # packed layout has no per-cell slots, so a banded per-cell drop
+        # would be a real parity difference, not a packed bug)
+        banded = binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=4, max_per_cell=128,
+            band_cells=b, interpret=True,
+        )
+        packed = binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=4, max_per_cell=128,
+            band_cells=b, packed_caps=(128, 144), interpret=True,
+        )
+        dv0, dp0, dt0, best0, nb0, ovf0, _ = banded
+        dv1, dp1, dt1, best1, nb1, ovf1, _ = packed
+        assert int(nb1) == int(nb0) > 0, f"band_cells={b}"
+        assert int(ovf1) == int(ovf0) == 0
+        np.testing.assert_array_equal(
+            np.asarray(best1["j"]), np.asarray(best0["j"])
+        )
+        np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dt1), np.asarray(dt0),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_packed_window_overflow_counted():
+    """Caps smaller than a window's occupancy surface through n_overflow
+    (no-silent-caps) instead of crashing or silently dropping."""
+    pos, vel, mass = _granular_scene(n=128, seed=3)
+    radius = _radius(mass)
+    *_, ovf, _ = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=4, max_per_cell=64,
+        band_cells=2, packed_caps=(8, 8), interpret=True,
+    )
+    assert int(ovf) > 0
+
+
+def test_packed_pair_straddles_band_boundary():
+    """An overlapping pair split across a k-band boundary is resolved via
+    the guard cells in the packed layout too."""
+    g, b = 4, 2
+    cell = BOX / g
+    z = b * cell
+    pos = jnp.asarray([[30.0, 30, z - 0.4], [30.0, 30, z + 0.4]])
+    vel = jnp.asarray([[0.0, 0, 0.5], [0.0, 0, -0.5]])
+    mass = jnp.asarray([5.0, 5.0])
+    radius = jnp.asarray([0.6, 0.6])
+    *_, best, nb, ovf, _ = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=g, max_per_cell=8,
+        band_cells=b, packed_caps=(8, 8), interpret=True,
+    )
+    assert int(nb) == 1 and int(ovf) == 0
+    assert int(best["j"][0]) == 1 and int(best["j"][1]) == 0
+
+
 def test_banded_pair_straddles_band_boundary():
     """An overlapping pair split across a k-band boundary is resolved via
     the guard cells."""

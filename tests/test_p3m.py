@@ -161,3 +161,37 @@ def test_chunk_boundary_no_double_count():
     np.testing.assert_allclose(
         np.asarray(acc), np.asarray(want), rtol=2e-3, atol=1e-4
     )
+
+
+def test_p3m_twolevel_residual_matches_dense():
+    """residual_mode='twolevel' replaces the dense [M, M] residual block
+    with a refined submesh + fine binned PP at near-dense accuracy — the
+    O(M) two-level path for cluster cores (ROADMAP item 8)."""
+    pos, mass, box = _plummer_core(n=2048, seed=13)
+    eps = 0.1
+    direct = np.asarray(forces.accelerations_blocked(pos, mass, 1.0, eps, 1024))
+    nrm = np.linalg.norm(direct, axis=1) + 1e-9
+    errs = {}
+    for mode in ("dense", "twolevel"):
+        acc, uncorrected = p3m_acceleration(
+            pos, mass, 1.0, box, g=128, n_cells=25, max_per_cell=8, eps=eps,
+            max_residual=2048, residual_mode=mode,
+            sub_g=64, sub_cells=12, sub_k=256,
+        )
+        assert int(uncorrected) == 0, mode
+        errs[mode] = np.linalg.norm(np.asarray(acc) - direct, axis=1) / nrm
+    assert np.median(errs["twolevel"]) < 0.01, np.median(errs["twolevel"])
+    # no worse than ~3x the dense-exact error anywhere that matters
+    assert np.median(errs["twolevel"]) < 3 * np.median(errs["dense"]) + 1e-3
+
+
+def test_p3m_twolevel_fine_binning_drop_counted():
+    """Bodies dropped from the submesh's FINE binning surface through
+    n_uncorrected (no-silent-caps)."""
+    pos, mass, box = _plummer_core(n=1024, seed=14)
+    _, uncorrected = p3m_acceleration(
+        pos, mass, 1.0, box, g=64, n_cells=25, max_per_cell=1, eps=0.1,
+        max_residual=1024, residual_mode="twolevel",
+        sub_g=32, sub_cells=8, sub_k=1,
+    )
+    assert int(uncorrected) > 0

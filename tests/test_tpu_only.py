@@ -103,6 +103,35 @@ def test_compiled_collision_kernel_matches_interpret():
     assert int(out_c[4]) == int(out_i[4])  # bounce counts
 
 
+def test_compiled_packed_collision_matches_interpret():
+    """Band-PACKED layout: compiled Mosaic output vs interpret mode (same
+    gate as the banded kernel; the kernel body is identical, only the
+    block construction differs)."""
+    from nbx.config import body_radius, default_materials
+    from nbx.ops.collide import binned_collision_pass
+
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.uniform(10, 90, (512, 3)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (512, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(5.0, 20.0, 512), jnp.float32)
+    radius = body_radius(mass, jnp.zeros(512, jnp.int32),
+                         default_materials()) * 2.0
+    outs = {}
+    for interp in (False, True):
+        outs[interp] = binned_collision_pass(
+            pos, vel, mass, radius, 100.0, 8, band_cells=3,
+            packed_caps=(64, 96), interpret=interp)
+    out_c, out_i = outs[False], outs[True]
+    assert int(out_c[5]) == int(out_i[5]) == 0  # no window overflow
+    for c, i, name in ((out_c[0], out_i[0], "dvel"),
+                       (out_c[1], out_i[1], "dpos"),
+                       (out_c[2], out_i[2], "dtemp")):
+        err = float(jnp.abs(c - i).max()) / (float(jnp.abs(i).max()) + 1e-12)
+        assert err < 1e-5, (name, err)
+    assert (np.asarray(out_c[3]["j"]) == np.asarray(out_i[3]["j"])).all()
+    assert int(out_c[4]) == int(out_i[4]) > 0  # bounce counts
+
+
 def test_compiled_mxu_variant_error():
     """MXU-r^2 prototype: looser gate (r^2 cancellation + bf16 split self
     term; see docs/RESULTS.md round-2 'kernel headroom' numbers)."""

@@ -10,7 +10,8 @@ merge/fracture/timers + thermal) per step at scale, for a sweep of
     # force: zero (isolates the collision kernel) | pallas | pm | ...
     # cfg:   g,K[,B[,Tc,Sc]]  e.g. 32,16,6  (B = band_cells, omit for full
     #        columns); Tc,Sc = band-PACKED per-window caps (target rows,
-    #        source lanes per neighbor window) — K is ignored when packed
+    #        source lanes per guarded strip) — K is ignored when packed;
+    #        g,K,B,a = AUTO caps via packed_caps_for on the initial frame
 
 Methodology (CLAUDE.md): differential warmed-scan timing — warm the EXACT
 executables for both scan lengths, wall-clock each dispatch, materialize
@@ -107,11 +108,12 @@ def main(argv):
     force = argv[2] if len(argv) > 2 else "pm"
     cfgs = []
     for a in argv[3:]:
-        parts = [int(x) for x in a.split(",")]
+        parts = a.split(",")
         cfgs.append((
-            parts[0], parts[1],
-            parts[2] if len(parts) > 2 else None,
-            (parts[3], parts[4]) if len(parts) > 4 else None,
+            int(parts[0]), int(parts[1]),
+            int(parts[2]) if len(parts) > 2 else None,
+            ("auto" if parts[3] == "a" else (int(parts[3]), int(parts[4])))
+            if len(parts) > 3 else None,
         ))
     if not cfgs:
         cfgs = [(32, 16, None, None), (32, 16, 6, None), (28, 12, None, None),
@@ -124,6 +126,10 @@ def main(argv):
     cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.25,
                     fracture_threshold=8.0)
     for g, k, band, packed in cfgs:
+        if packed == "auto":
+            from nbx.ops.collide import packed_caps_for
+
+            packed = packed_caps_for(st0.pos, BOX, g, band)
         ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
                                  packed=packed)
         print(json.dumps(dict(

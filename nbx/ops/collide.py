@@ -222,10 +222,18 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     delta_ref [T, 8]   = dvx dvy dvz dpx dpy dpz heat n_bounce
     evt_ref   [T, 8]   = depth j_gidx vn Q E m_j approaching 0 (deepest)
 
-    Same physics as _collide_kernel with two exact algebraic cuts: the
-    friction impulse jt * t_hat == -(friction / inv_sum) * t_vec (the
-    normalization sqrt and division cancel, reference L364-369), and the
-    1/inv_sum, 1/m_sum reciprocals are hoisted and multiplied through.
+    Same physics as _collide_kernel with exact algebraic cuts (measured:
+    the kernel is VPU-rate-bound, so ops/pair is the lever):
+
+      * ONE reciprocal per pair instead of two: the impulse denominator
+        1/(1/mA + 1/mB) IS the reduced mass mu = mA mB/(mA + mB), so the
+        masked mu carries impulse scale, friction scale, Baumgarte scale
+        AND the impact energy E = mu/2 (v.n)^2 (L329, L333, L352, L369).
+      * normals are never materialized: impulse = a2 * d - ft * rv with
+        a2 = (j + ft vn) / dist folding the friction tangent
+        (t_vec = rv - vn n, its normalization cancels, L364-369) and the
+        1/dist of n = d/dist into one coefficient — every per-component
+        term is a 2-op FMA chain.
     """
     t = tgt_ref[:]
     xi, yi, zi = t[:, 0:1], t[:, 1:2], t[:, 2:3]
@@ -248,46 +256,40 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
 
     inv_dist = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
     dist = r2 * inv_dist  # sqrt(r2), 0 at r2 == 0
-    nx = dx * inv_dist
-    ny = dy * inv_dist
-    nz = dz * inv_dist
     rvx = vxj - vxi
     rvy = vyj - vyi
     rvz = vzj - vzi
-    vn = rvx * nx + rvy * ny + rvz * nz
+    vn = (rvx * dx + rvy * dy + rvz * dz) * inv_dist
     appr = overlap & (vn < 0.0)
 
-    inv_i = jnp.where(mi > 0.0, 1.0 / jnp.where(mi > 0.0, mi, 1.0), 0.0)
-    inv_j = jnp.where(mj > 0.0, 1.0 / jnp.where(mj > 0.0, mj, 1.0), 0.0)
-    inv_sum = inv_i + inv_j
-    r_is = 1.0 / jnp.where(inv_sum > 0.0, inv_sum, 1.0)  # hoisted
+    m_sum = mi + mj
+    r_ms = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)
+    mu_g = jnp.where(appr, mi * mj * r_ms, 0.0)  # masked reduced mass
 
     e = par_ref[0, 0]
     fric = par_ref[0, 1]
-    gate = jnp.where(appr, r_is, 0.0)  # masked 1/inv_sum
-    j_imp = -(1.0 + e) * vn * gate
-    ft = fric * gate  # friction impulse = -ft * t_vec (t_hat sqrt cancels)
-    impx = j_imp * nx - ft * (rvx - vn * nx)
-    impy = j_imp * ny - ft * (rvy - vn * ny)
-    impz = j_imp * nz - ft * (rvz - vn * nz)
+    tvn = vn * mu_g  # masked mu * vn, shared by impulse and heating
+    j_imp = -(1.0 + e) * tvn  # L328-329
+    ft = fric * mu_g  # friction impulse = -ft * t_vec (L364-369)
+    a2 = (j_imp + ft * vn) * inv_dist
+    inv_i = jnp.where(mi > 0.0, 1.0 / jnp.where(mi > 0.0, mi, 1.0), 0.0)
+    sc_i = inv_i[:, 0:1]
 
-    # target side of the pair impulse: vel_i -= imp * inv_i
-    dvx = -jnp.sum(impx, axis=1, keepdims=True) * inv_i[:, 0:1]
-    dvy = -jnp.sum(impy, axis=1, keepdims=True) * inv_i[:, 0:1]
-    dvz = -jnp.sum(impz, axis=1, keepdims=True) * inv_i[:, 0:1]
+    # target side of the pair impulse: vel_i -= (a2 d - ft rv) / m_i
+    dvx = -jnp.sum(a2 * dx - ft * rvx, axis=1, keepdims=True) * sc_i
+    dvy = -jnp.sum(a2 * dy - ft * rvy, axis=1, keepdims=True) * sc_i
+    dvz = -jnp.sum(a2 * dz - ft * rvz, axis=1, keepdims=True) * sc_i
 
-    corr = (min_d - dist) * (CORRECTION * gate)
-    dpx = -jnp.sum(corr * nx, axis=1, keepdims=True) * inv_i[:, 0:1]
-    dpy = -jnp.sum(corr * ny, axis=1, keepdims=True) * inv_i[:, 0:1]
-    dpz = -jnp.sum(corr * nz, axis=1, keepdims=True) * inv_i[:, 0:1]
+    # Baumgarte push (minDist - d) mu 0.8 along n (L350-352)
+    c2 = (min_d - dist) * inv_dist * (CORRECTION * mu_g)
+    dpx = -jnp.sum(c2 * dx, axis=1, keepdims=True) * sc_i
+    dpy = -jnp.sum(c2 * dy, axis=1, keepdims=True) * sc_i
+    dpz = -jnp.sum(c2 * dz, axis=1, keepdims=True) * sc_i
 
-    m_sum = mi + mj
-    r_ms = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)  # hoisted
-    mu = mi * mj * r_ms
-    e_full = 0.5 * mu * vn * vn  # impact energy (unmasked, L333)
+    # impact heating: E = mu/2 (v.n)^2 masked (L333-336)
     heat = (
-        jnp.sum(jnp.where(appr, e_full, 0.0), axis=1, keepdims=True)
-        * inv_i[:, 0:1]
+        jnp.sum(0.5 * vn * tvn, axis=1, keepdims=True)
+        * sc_i
         * HEAT_FRACTION
     )
     n_b = jnp.sum(jnp.where(appr, 1.0, 0.0), axis=1, keepdims=True)
@@ -343,6 +345,42 @@ def _column_neighbors(g: int):
             ok = (ni >= 0) & (ni < g) & (nj >= 0) & (nj < g)
             neigh.append(jnp.where(ok, ni * g + nj, n_cols))
     return jnp.stack(neigh, axis=1)
+
+
+def packed_caps_for(
+    pos,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    slack: float = 1.25,
+) -> tuple[int, int]:
+    """Measure THIS frame's actual window occupancies and suggest
+    packed_caps = (t_cap, s_cap) covering them with `slack` headroom for
+    drift until the caller re-tunes. HOST-side (returns python ints —
+    packed_caps is a static jit argument; calling this per-frame would
+    recompile on every occupancy change, so call it once per scene or
+    when n_overflow goes nonzero).
+    """
+    import numpy as np
+
+    g = n_cells
+    b = band_cells
+    n_bands = -(-g // b)
+    _, starts, _ = cell_sort(jnp.asarray(pos), box_size, g)
+    st = np.asarray(starts)
+    cols = np.arange(g * g, dtype=np.int64)
+    w = np.arange(n_bands, dtype=np.int64)
+    cnt_t = (
+        st[cols[:, None] * g + np.minimum(w[None, :] * b + b, g)]
+        - st[cols[:, None] * g + w[None, :] * b]
+    )
+    cnt_s = (
+        st[cols[:, None] * g + np.minimum(w[None, :] * b + b + 1, g)]
+        - st[cols[:, None] * g + np.maximum(w[None, :] * b - 1, 0)]
+    )
+    t_cap = max(8, int(np.ceil(cnt_t.max() * slack)))
+    s_cap = max(8, int(np.ceil(cnt_s.max() * slack)))
+    return t_cap, s_cap
 
 
 @functools.partial(

@@ -124,6 +124,22 @@ def test_packed_matches_banded():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_packed_caps_for_covers_scene():
+    """packed_caps_for suggests caps that produce zero window overflow on
+    the frame it measured."""
+    from nbx.ops.collide import packed_caps_for
+
+    pos, vel, mass = _granular_scene(n=256, seed=9)
+    radius = _radius(mass)
+    caps = packed_caps_for(pos, BOX, n_cells=4, band_cells=2)
+    assert all(isinstance(c, int) for c in caps)
+    *_, ovf, _ = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=4, band_cells=2,
+        packed_caps=caps, interpret=True,
+    )
+    assert int(ovf) == 0
+
+
 def test_packed_window_overflow_counted():
     """Caps smaller than a window's occupancy surface through n_overflow
     (no-silent-caps) instead of crashing or silently dropping."""

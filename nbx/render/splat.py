@@ -17,7 +17,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from nbx.ops.p3m import take_rows
 from nbx.render.colormap import body_color, tonemap
+
+_BIG_SPLATS = 256  # 11x11-tier capacity (top bodies by apparent radius)
 
 
 @jax.tree_util.register_dataclass
@@ -187,9 +190,21 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     col = col * jnp.maximum(lit, emissive)[:, None]
     f = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
     app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
+
+    # Two footprint tiers (all static shapes): most bodies take the 5x5
+    # tap window; the top-256 by apparent radius above ~3 px take an 11x11
+    # window so big/near bodies render as wide soft discs instead of
+    # saturated clipped dots (ROADMAP renderer polish; the n_impostors
+    # nearest get exact per-pixel shading on top — nbx.render.impostor).
+    big = visible & (app > 3.0)
+    idx_b, valid_b = take_rows(big, _BIG_SPLATS)
+    # bodies past the tier capacity stay in the 5x5 tier (visible, if
+    # clipped) rather than vanish
+    in_tier = big & (jnp.cumsum(big.astype(jnp.int32)) - 1 < _BIG_SPLATS)
+    small = visible & ~in_tier
     # Energy ~ apparent area, floored so sub-pixel bodies stay visible
     # (the reference never lets a body vanish either — bloom pops them).
-    intensity = jnp.where(visible, jnp.clip(app * app, 0.3, 60.0), 0.0)
+    intensity = jnp.where(small, jnp.clip(app * app, 0.3, 60.0), 0.0)
     rgb = col * intensity[:, None]
 
     # Variable-size Gaussian footprint over a 5x5 tap window: big/near
@@ -215,6 +230,31 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
         img = img.at[y0 + dy, x0 + dx].add(
             rgb * (w * inv_wsum)[:, None], mode="drop"
         )
+
+    # ---- 11x11 tier: one batched scatter of the gathered big bodies ------
+    r_half = 5
+    pxb, pyb, appb = px[idx_b], py[idx_b], app[idx_b]
+    inten_b = jnp.where(valid_b, jnp.clip(appb * appb, 0.3, 240.0), 0.0)
+    rgbb = col[idx_b] * inten_b[:, None]
+    sigb = jnp.clip(appb * 0.6, 2.0, 4.8)
+    x0b = jnp.clip(jnp.round(pxb).astype(jnp.int32), r_half,
+                   width - r_half - 1)
+    y0b = jnp.clip(jnp.round(pyb).astype(jnp.int32), r_half,
+                   height - r_half - 1)
+    dr = jnp.arange(-r_half, r_half + 1)
+    dxx = dr[None, None, :]  # [1, 1, 11]
+    dyy = dr[None, :, None]  # [1, 11, 1]
+    d2b = (
+        (x0b[:, None, None] + dxx - pxb[:, None, None]) ** 2
+        + (y0b[:, None, None] + dyy - pyb[:, None, None]) ** 2
+    )  # [M, 11, 11]
+    wb = jnp.exp(-d2b / (2.0 * sigb * sigb)[:, None, None])
+    wb = wb / jnp.maximum(jnp.sum(wb, axis=(1, 2), keepdims=True), 1e-9)
+    tapshape = (idx_b.shape[0], 2 * r_half + 1, 2 * r_half + 1)
+    ys = jnp.broadcast_to(y0b[:, None, None] + dyy, tapshape).reshape(-1)
+    xs = jnp.broadcast_to(x0b[:, None, None] + dxx, tapshape).reshape(-1)
+    vals = (rgbb[:, None, None, :] * wb[..., None]).reshape(-1, 3)
+    img = img.at[ys, xs].add(vals, mode="drop")
     return img
 
 

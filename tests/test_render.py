@@ -36,6 +36,33 @@ def test_splat_renders_visible_bodies():
     assert abs(cx - 160) < 8 and abs(cy - 90) < 8
 
 
+def test_big_splat_wide_footprint():
+    """A near body (apparent radius >> 5 px) spreads its light beyond the
+    5x5 tap window via the 11x11 tier instead of clipping to a dot."""
+    cam = Camera.default()
+    fwd = (cam.target - cam.eye) / jnp.linalg.norm(cam.target - cam.eye)
+    pos = (cam.eye + fwd * 40.0)[None, :]  # close to the camera
+    img = np.asarray(
+        splat.splat_frame(
+            pos,
+            jnp.asarray([1.5]),  # apparent radius ~ 434*1.5/40 ~ 16 px
+            jnp.asarray([0.0]),
+            jnp.zeros(1, jnp.int32),
+            jnp.asarray([True]),
+            SimConfig().materials.color1,
+            SimConfig().materials.color2,
+            cam,
+            width=320,
+            height=180,
+        )
+    )
+    lum = img.sum(-1)
+    cy, cx = np.unravel_index(lum.argmax(), lum.shape)
+    # light must reach past the 5x5 window (offset 2) from the peak
+    assert lum[cy, cx + 4] > 0.02 * lum[cy, cx] > 0.0
+    assert (lum > 0.01 * lum[cy, cx]).sum() > 25  # wider than 5x5
+
+
 def test_dead_bodies_not_rendered():
     cfg = SimConfig(capacity=4)
     st = scene.make_state(cfg, scene.head_on_collision())

@@ -234,79 +234,95 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
         (t_vec = rv - vn n, its normalization cancels, L364-369) and the
         1/dist of n = d/dist into one coefficient — every per-component
         term is a 2-op FMA chain.
+      * the S axis is processed in 128-lane CHUNKS with running [T, 1]
+        accumulators: the live [T, chunk] working set is ~8x smaller than
+        whole-row temporaries, which measured 1.23x on the kernel alone
+        (docs/RESULTS.md — the [T, S] temporaries otherwise stream
+        through VMEM).
     """
     t = tgt_ref[:]
     xi, yi, zi = t[:, 0:1], t[:, 1:2], t[:, 2:3]
     vxi, vyi, vzi = t[:, 3:4], t[:, 4:5], t[:, 5:6]
     mi, ri, gi = t[:, 6:7], t[:, 7:8], t[:, 8:9]
-
-    s = src_ref[:]
-    xj, yj, zj = s[0:1, :], s[1:2, :], s[2:3, :]
-    vxj, vyj, vzj = s[3:4, :], s[4:5, :], s[5:6, :]
-    mj, rj, gj = s[6:7, :], s[7:8, :], s[8:9, :]
-
-    dx = xj - xi  # [T, S] i -> j
-    dy = yj - yi
-    dz = zj - zi
-    r2 = dx * dx + dy * dy + dz * dz
-    min_d = ri + rj
-    alive2 = (mi > 0.0) & (mj > 0.0)
-    distinct = jnp.abs(gi - gj) > 0.5
-    overlap = alive2 & distinct & (r2 < min_d * min_d)
-
-    inv_dist = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
-    dist = r2 * inv_dist  # sqrt(r2), 0 at r2 == 0
-    rvx = vxj - vxi
-    rvy = vyj - vyi
-    rvz = vzj - vzi
-    vn = (rvx * dx + rvy * dy + rvz * dz) * inv_dist
-    appr = overlap & (vn < 0.0)
-
-    m_sum = mi + mj
-    r_ms = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)
-    mu_g = jnp.where(appr, mi * mj * r_ms, 0.0)  # masked reduced mass
-
-    e = par_ref[0, 0]
-    fric = par_ref[0, 1]
-    tvn = vn * mu_g  # masked mu * vn, shared by impulse and heating
-    j_imp = -(1.0 + e) * tvn  # L328-329
-    ft = fric * mu_g  # friction impulse = -ft * t_vec (L364-369)
-    a2 = (j_imp + ft * vn) * inv_dist
     inv_i = jnp.where(mi > 0.0, 1.0 / jnp.where(mi > 0.0, mi, 1.0), 0.0)
     sc_i = inv_i[:, 0:1]
+    e = par_ref[0, 0]
+    fric = par_ref[0, 1]
+
+    s_rows = src_ref.shape[1]
+    chunk = LANE if s_rows % LANE == 0 else s_rows
+    acc = None
+    dmax = None
+    jsel = None
+    for c in range(s_rows // chunk):
+        s = src_ref[:, c * chunk:(c + 1) * chunk]
+        xj, yj, zj = s[0:1, :], s[1:2, :], s[2:3, :]
+        vxj, vyj, vzj = s[3:4, :], s[4:5, :], s[5:6, :]
+        mj, rj, gj = s[6:7, :], s[7:8, :], s[8:9, :]
+
+        dx = xj - xi  # [T, chunk] i -> j
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz
+        min_d = ri + rj
+        alive2 = (mi > 0.0) & (mj > 0.0)
+        distinct = jnp.abs(gi - gj) > 0.5
+        overlap = alive2 & distinct & (r2 < min_d * min_d)
+
+        inv_dist = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
+        dist = r2 * inv_dist  # sqrt(r2), 0 at r2 == 0
+        rvx = vxj - vxi
+        rvy = vyj - vyi
+        rvz = vzj - vzi
+        vn = (rvx * dx + rvy * dy + rvz * dz) * inv_dist
+        appr = overlap & (vn < 0.0)
+
+        m_sum = mi + mj
+        r_ms = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)
+        mu_g = jnp.where(appr, mi * mj * r_ms, 0.0)  # masked reduced mass
+
+        tvn = vn * mu_g  # masked mu * vn, shared by impulse and heating
+        j_imp = -(1.0 + e) * tvn  # L328-329
+        ft = fric * mu_g  # friction impulse = -ft * t_vec (L364-369)
+        a2 = (j_imp + ft * vn) * inv_dist
+        # Baumgarte push (minDist - d) mu 0.8 along n (L350-352)
+        c2 = (min_d - dist) * inv_dist * (CORRECTION * mu_g)
+        sums = [
+            jnp.sum(a2 * dx - ft * rvx, axis=1, keepdims=True),
+            jnp.sum(a2 * dy - ft * rvy, axis=1, keepdims=True),
+            jnp.sum(a2 * dz - ft * rvz, axis=1, keepdims=True),
+            jnp.sum(c2 * dx, axis=1, keepdims=True),
+            jnp.sum(c2 * dy, axis=1, keepdims=True),
+            jnp.sum(c2 * dz, axis=1, keepdims=True),
+            # impact heating: E = mu/2 (v.n)^2 masked (L333-336)
+            jnp.sum(0.5 * vn * tvn, axis=1, keepdims=True),
+            jnp.sum(jnp.where(appr, 1.0, 0.0), axis=1, keepdims=True),
+        ]
+        # deepest-overlap partner, tie-break by smallest source gidx
+        depth = jnp.where(overlap, min_d - dist, DEPTH_SENTINEL)
+        dm = jnp.max(depth, axis=1, keepdims=True)  # [T, 1]
+        cand = depth >= dm
+        gjb = gj + jnp.zeros_like(depth)
+        js = jnp.min(jnp.where(cand, gjb, _BIG), axis=1, keepdims=True)
+        if acc is None:
+            acc, dmax, jsel = sums, dm, js
+        else:
+            acc = [a + x for a, x in zip(acc, sums)]
+            better = dm > dmax
+            jsel = jnp.where(better, js, jsel)
+            dmax = jnp.where(better, dm, dmax)
 
     # target side of the pair impulse: vel_i -= (a2 d - ft rv) / m_i
-    dvx = -jnp.sum(a2 * dx - ft * rvx, axis=1, keepdims=True) * sc_i
-    dvy = -jnp.sum(a2 * dy - ft * rvy, axis=1, keepdims=True) * sc_i
-    dvz = -jnp.sum(a2 * dz - ft * rvz, axis=1, keepdims=True) * sc_i
-
-    # Baumgarte push (minDist - d) mu 0.8 along n (L350-352)
-    c2 = (min_d - dist) * inv_dist * (CORRECTION * mu_g)
-    dpx = -jnp.sum(c2 * dx, axis=1, keepdims=True) * sc_i
-    dpy = -jnp.sum(c2 * dy, axis=1, keepdims=True) * sc_i
-    dpz = -jnp.sum(c2 * dz, axis=1, keepdims=True) * sc_i
-
-    # impact heating: E = mu/2 (v.n)^2 masked (L333-336)
-    heat = (
-        jnp.sum(0.5 * vn * tvn, axis=1, keepdims=True)
-        * sc_i
-        * HEAT_FRACTION
-    )
-    n_b = jnp.sum(jnp.where(appr, 1.0, 0.0), axis=1, keepdims=True)
-
     delta_ref[:] = jnp.concatenate(
-        [dvx, dvy, dvz, dpx, dpy, dpz, heat, n_b], axis=1
+        [
+            -acc[0] * sc_i, -acc[1] * sc_i, -acc[2] * sc_i,
+            -acc[3] * sc_i, -acc[4] * sc_i, -acc[5] * sc_i,
+            acc[6] * sc_i * HEAT_FRACTION, acc[7],
+        ],
+        axis=1,
     )
 
-    # ---- deepest-overlap partner (feeds the at-scale contact timers); the
-    # winner's pair quantities are recomputed O(N) in the XLA epilogue ----
-    depth = jnp.where(overlap, min_d - dist, DEPTH_SENTINEL)
-    dmax = jnp.max(depth, axis=1, keepdims=True)  # [T, 1]
     has = dmax > 0.0
-    cand = overlap & (depth >= dmax)
-    # tie-break by smallest source gidx
-    gjb = gj + jnp.zeros_like(depth)
-    jsel = jnp.min(jnp.where(cand, gjb, _BIG), axis=1, keepdims=True)
     z8 = jnp.zeros_like(dmax)
     evt_ref[:] = jnp.concatenate(
         [

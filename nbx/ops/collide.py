@@ -465,7 +465,7 @@ def binned_collision_pass(
         n_tblocks = n_cols * n_bands
         i32 = jnp.int32
 
-        order, starts, _ = cell_sort(pos, box_size, g)
+        order, starts, cid_sorted = cell_sort(pos, box_size, g)
         # [n + 1, 16] in cell order, row n dead — the one per-row gather
         feats_sorted = jnp.concatenate(
             [feats[order], feats[n:]], axis=0
@@ -491,16 +491,26 @@ def binned_collision_pass(
         n_s_over = jnp.sum(jnp.maximum(se_tab - ss_tab - s_capw, 0))
         n_overflow = n_t_over + n_s_over
 
-        # ---- targets: consecutive-run row gather + body-id table ---------
+        # ---- targets: consecutive-run row gather -------------------------
         ar_t = jnp.arange(t_rows, dtype=i32)
         valid_t = ar_t[None, None, :] < jnp.minimum(cnt_t, t_rows)[..., None]
         take_t = ts_tab[..., None] + ar_t
+        # gather with the 3D index then reshape: the flat 1D-index form of
+        # the same gather measured 4x slower (5.9 vs 1.5 ms at 131k)
         tgt = feats_sorted[
-            jnp.where(valid_t, jnp.minimum(take_t, n), n).reshape(-1)
-        ]
-        flat_idx = jnp.where(
-            valid_t, jnp.take(order, take_t, mode="fill", fill_value=n), n
-        ).reshape(-1)
+            jnp.where(valid_t, jnp.minimum(take_t, n), n)
+        ].reshape(-1, 16)
+        # body -> its target-block slot (inverse of the window layout)
+        p_r = jnp.arange(n, dtype=i32)
+        col_s = cid_sorted // g
+        w_own = (cid_sorted - col_s * g) // b
+        rank_t = p_r - ts_tab[col_s, w_own]
+        slot_sorted = jnp.where(
+            rank_t < t_rows,
+            (col_s * n_bands + w_own) * t_rows + rank_t,
+            n_tblocks * t_rows,
+        )
+        body_slot = slot_sorted[_invert_order(order, n)]
 
         # ---- sources: strips once, then whole-chunk fusion ---------------
         ar_s = jnp.arange(s_capw, dtype=i32)
@@ -563,11 +573,18 @@ def binned_collision_pass(
             interpret=interpret,
         )(par, tgt, src)
         return _collide_epilogue(
-            delta, evt, flat_idx, pos, vel, mass, n, n_overflow,
+            delta, evt, body_slot, pos, vel, mass, n, n_overflow,
             cell_too_small,
         )
 
     table, _, n_overflow = cell_bin(pos, box_size, g, k)
+    # body -> table slot for the epilogue gather (shares cell_bin's sort
+    # semantics; the extra cell_sort is ~0.2 ms at 131k)
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
+    p_r = jnp.arange(n, dtype=jnp.int32)
+    cell_rank = p_r - starts[cid_sorted]
+    col_s = cid_sorted // g
+    cell_k = cid_sorted - col_s * g
 
     if band_cells is None:
         # ---- full-column layout: blocks are whole columns, grid (cols, 9),
@@ -586,7 +603,13 @@ def binned_collision_pass(
         # +1 padding block (all dead) for out-of-range neighbors
         pad_col = jnp.broadcast_to(feats[n][:, None], (1, 16, t_rows))
         src = jnp.concatenate([src_cols, pad_col], axis=0).reshape(-1, t_rows)
-        flat_idx = col_idx.reshape(-1)
+        # body -> block slot: column block col_s, row cell_k * K + rank
+        slot_sorted = jnp.where(
+            cell_rank < k,
+            col_s * t_rows + cell_k * k + cell_rank,
+            n_tblocks * t_rows,
+        )
+        body_slot = slot_sorted[_invert_order(order, n)]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -653,8 +676,17 @@ def binned_collision_pass(
         )
         rpad = jnp.full((n_cols, n_bands, t_rows - b * k), n, jnp.int32)
         btgt_idx = jnp.concatenate([btgt_idx, rpad], axis=2)
-        flat_idx = btgt_idx.reshape(-1)
-        tgt = feats[flat_idx]  # [n_tblocks * t_rows, 16]
+        tgt = feats[btgt_idx.reshape(-1)]  # [n_tblocks * t_rows, 16]
+        # body -> block slot: band w = cell_k // b, row
+        # (cell_k - w b) K + rank within the (column, band) block
+        w_own = cell_k // b
+        slot_sorted = jnp.where(
+            cell_rank < k,
+            (col_s * n_bands + w_own) * t_rows
+            + (cell_k - w_own * b) * k + cell_rank,
+            n_tblocks * t_rows,
+        )
+        body_slot = slot_sorted[_invert_order(order, n)]
 
         # fused source window: for each (column, band), the 9 neighbor
         # columns' cells band*b-1 .. band*b+b (k-guards). Dead cells pad
@@ -716,23 +748,41 @@ def binned_collision_pass(
         )(par, tgt, src)
 
     return _collide_epilogue(
-        delta, evt, flat_idx, pos, vel, mass, n, n_overflow, cell_too_small
+        delta, evt, body_slot, pos, vel, mass, n, n_overflow, cell_too_small
+    )
+
+
+def _invert_order(order, n):
+    """Body id -> sorted position (inverse permutation of cell_sort)."""
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
     )
 
 
 def _collide_epilogue(
-    delta, evt, flat_idx, pos, vel, mass, n, n_overflow, cell_too_small
+    delta, evt, body_slot, pos, vel, mass, n, n_overflow, cell_too_small
 ):
-    """Scatter kernel outputs back to body order and rebuild the per-body
-    deepest-partner record. Each live body appears at most once as a target
-    across all blocks (exactly once unless dropped by a packed target cap)."""
+    """Map kernel outputs back to body order and rebuild the per-body
+    deepest-partner record.
+
+    body_slot [n] is each body's target-block slot (M = rows of delta for
+    bodies with no slot — dead-dropped or cap-dropped). Every layout can
+    COMPUTE it from the cell sort (slot = f(sorted position)), so the
+    write-back is two n-row GATHERS — the original implementation
+    scattered the (3x larger, padding included) block outputs back to
+    body order and that scatter alone cost ~16 ms of a 59 ms step at 131k
+    (TPU scatter serializes; same lesson as the layout construction)."""
     f32 = jnp.float32
-    out_d = jnp.zeros((n + 1, 8), f32).at[flat_idx].add(delta, mode="drop")
-    out_e = (
-        jnp.full((n + 1, 8), DEPTH_SENTINEL, f32)
-        .at[flat_idx]
-        .set(evt, mode="drop")
+    m = delta.shape[0]
+    delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], axis=0)
+    evt_p = jnp.concatenate(
+        [evt, jnp.full((1, 8), DEPTH_SENTINEL, f32)], axis=0
     )
+    slot = jnp.clip(body_slot, 0, m)
+    out_d = delta_p[slot]
+    out_e = evt_p[slot]
     dvel = out_d[:n, 0:3]
     dpos = out_d[:n, 3:6]
     dtemp = out_d[:n, 6]

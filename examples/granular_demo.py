@@ -65,17 +65,16 @@ def main(n: int = 32768, n_frames: int = 60, out_dir: str = "/tmp/nbx_granular",
     )
     mats = default_materials()
     totals_sum = dict(n_bounces=0, n_merges=0, n_fractures=0)
-    # band-packed caps sized to THIS scene's initial binning (re-derive if
-    # n_overflow ever goes nonzero mid-run)
-    from nbx.ops.collide import packed_caps_for
-
-    caps = packed_caps_for(st.pos, BOX, n_cells=28, band_cells=6)
+    # The disk is a PEAKED scene (a thin annulus: ~2% of windows hold all
+    # bodies), so the banded per-cell-cap layout is the right tool — the
+    # band-PACKED layout's uniform window caps would have to cover the
+    # densest window (~900 bodies) and blow the pair work up ~25x
+    # (docs/RESULTS.md "layout choice by scene shape").
     t0 = time.time()
     for f in range(n_frames):
         st, totals = granular_full_kdk_scan(
             st, cfg, BOX, n_steps=steps_per_frame,
-            n_cells=28, max_per_cell=12, band_cells=6, packed_caps=caps,
-            force_impl="auto",
+            n_cells=28, max_per_cell=12, band_cells=6, force_impl="auto",
         )
         for k in ("n_bounces", "n_merges", "n_fractures"):
             totals_sum[k] += int(totals[k])

@@ -369,6 +369,8 @@ def packed_caps_for(
     n_cells: int,
     band_cells: int,
     slack: float = 1.25,
+    quantile: float = 1.0,
+    max_source_lanes: int = 4096,
 ) -> tuple[int, int]:
     """Measure THIS frame's actual window occupancies and suggest
     packed_caps = (t_cap, s_cap) covering them with `slack` headroom for
@@ -376,6 +378,18 @@ def packed_caps_for(
     packed_caps is a static jit argument; calling this per-frame would
     recompile on every occupancy change, so call it once per scene or
     when n_overflow goes nonzero).
+
+    quantile < 1.0 caps at that occupancy quantile of the OCCUPIED
+    windows instead of the max — bounded work at the price of counted
+    overflow, the same trade max_per_cell makes in the banded layout.
+
+    LAYOUT CHOICE BY SCENE SHAPE: uniform caps only pay when occupancy is
+    near-uniform. On a peaked scene (e.g. a thin debris annulus where ~2%
+    of windows hold every body at ~900/window) covering the dense windows
+    multiplies the pair work ~25x and the in-kernel chunk unroll with it
+    — use the banded per-cell-cap layout there instead. This function
+    raises when the suggestion exceeds max_source_lanes fused source
+    lanes rather than hand back a pathological compile.
     """
     import numpy as np
 
@@ -394,8 +408,24 @@ def packed_caps_for(
         st[cols[:, None] * g + np.minimum(w[None, :] * b + b + 1, g)]
         - st[cols[:, None] * g + np.maximum(w[None, :] * b - 1, 0)]
     )
-    t_cap = max(8, int(np.ceil(cnt_t.max() * slack)))
-    s_cap = max(8, int(np.ceil(cnt_s.max() * slack)))
+
+    def pick(cnt):
+        occ = cnt[cnt > 0]
+        if occ.size == 0:
+            return 8
+        v = occ.max() if quantile >= 1.0 else np.quantile(occ, quantile)
+        return max(8, int(np.ceil(v * slack)))
+
+    t_cap, s_cap = pick(cnt_t), pick(cnt_s)
+    if 9 * s_cap > max_source_lanes:
+        occ_frac = float((cnt_t > 0).mean())
+        raise ValueError(
+            f"packed caps ({t_cap}, {s_cap}) need {9 * s_cap} fused source"
+            f" lanes (> {max_source_lanes}): occupancy is too peaked for"
+            f" uniform window caps ({occ_frac:.1%} of windows occupied)."
+            " Use the banded per-cell-cap layout (band_cells without"
+            " packed_caps), a lower quantile=, or a finer n_cells."
+        )
     return t_cap, s_cap
 
 

@@ -140,6 +140,27 @@ def test_packed_caps_for_covers_scene():
     assert int(ovf) == 0
 
 
+def test_packed_caps_for_rejects_peaked_scene():
+    """A scene concentrated in one window must raise (uniform caps would
+    request a pathological fused-lane count) and point at the banded
+    layout; a low quantile tames the suggestion instead."""
+    import pytest as _pytest
+
+    from nbx.ops.collide import packed_caps_for
+
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(
+        rng.uniform(48, 52, (8192, 3)).astype(np.float32)
+    )  # all bodies inside ~one cell at g=16
+    with _pytest.raises(ValueError, match="banded"):
+        packed_caps_for(pos, BOX, n_cells=16, band_cells=2)
+    t_cap, s_cap = packed_caps_for(
+        pos, BOX, n_cells=16, band_cells=2, quantile=0.5,
+        max_source_lanes=10**9,
+    )
+    assert s_cap <= 8192
+
+
 def test_packed_window_overflow_counted():
     """Caps smaller than a window's occupancy surface through n_overflow
     (no-silent-caps) instead of crashing or silently dropping."""

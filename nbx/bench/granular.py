@@ -116,8 +116,9 @@ def main(argv):
             if len(parts) > 3 else None,
         ))
     if not cfgs:
-        cfgs = [(32, 16, None, None), (32, 16, 6, None), (28, 12, None, None),
-                (28, 12, 6, None), (24, 16, 6, None), (16, 64, 2, None)]
+        cfgs = [(32, 16, 8, (96, 104)), (32, 16, 4, (48, 72)),
+                (32, 16, 4, None), (32, 16, None, None),
+                (28, 12, 6, None)]
     if scene == "cloud":
         pos, vel, mass = granular_cloud(n)
     else:

@@ -6,8 +6,9 @@ caps at 300 bodies (index.html:57), here at tens of thousands.
 
     python examples/granular_demo.py [n] [n_frames] [out_dir]
 
-Default N is sized for an interactive single-v5e run; the collision step
-measured 87 ms at N=131072 (docs/RESULTS.md).
+Default N is sized for an interactive single-v5e run; the full collision
+step measured 39.5 ms at N=131072 on the uniform-cloud benchmark
+(docs/RESULTS.md; this peaked disk scene uses the banded layout).
 """
 
 import os

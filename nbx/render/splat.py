@@ -196,7 +196,9 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     # window so big/near bodies render as wide soft discs instead of
     # saturated clipped dots (ROADMAP renderer polish; the n_impostors
     # nearest get exact per-pixel shading on top — nbx.render.impostor).
-    big = visible & (app > 3.0)
+    # threshold 2.0 px: in the 5x5 window a sigma above ~1.2 truncates at
+    # +-1.7 sigma and reads as a box; the 11x11 tier keeps those round
+    big = visible & (app > 2.0)
     idx_b, valid_b = take_rows(big, _BIG_SPLATS)
     # bodies past the tier capacity stay in the 5x5 tier (visible, if
     # clipped) rather than vanish
@@ -236,7 +238,7 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     pxb, pyb, appb = px[idx_b], py[idx_b], app[idx_b]
     inten_b = jnp.where(valid_b, jnp.clip(appb * appb, 0.3, 240.0), 0.0)
     rgbb = col[idx_b] * inten_b[:, None]
-    sigb = jnp.clip(appb * 0.6, 2.0, 4.8)
+    sigb = jnp.clip(appb * 0.6, 1.2, 4.8)
     x0b = jnp.clip(jnp.round(pxb).astype(jnp.int32), r_half,
                    width - r_half - 1)
     y0b = jnp.clip(jnp.round(pyb).astype(jnp.int32), r_half,

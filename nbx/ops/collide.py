@@ -842,3 +842,200 @@ def _collide_epilogue(
         approaching=has & (vnb < 0.0),
     )
     return dvel, dpos, dtemp, best, n_bounces, n_overflow, cell_too_small
+
+
+def _column_neighbors_of(cc, g: int):
+    """9-neighborhood column ids [..., 9] for column ids cc (traced ok);
+    invalid offsets -> g*g. Same enumeration as _column_neighbors."""
+    n_cols = g * g
+    ci, cj = cc // g, cc % g
+    neigh = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ni, nj = ci + di, cj + dj
+            ok = (ni >= 0) & (ni < g) & (nj >= 0) & (nj < g)
+            neigh.append(jnp.where(ok, ni * g + nj, n_cols))
+    return jnp.stack(neigh, axis=-1)
+
+
+def packed_collision_blocks_slab(
+    pos,
+    vel,
+    mass,
+    radius,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    packed_caps: tuple[int, int],
+    restitution,
+    friction,
+    col_lo,  # first (i, j) column of this SLAB — TRACED (axis_index)
+    n_slab_cols: int,  # columns in the slab (static)
+    interpret: bool = False,
+):
+    """Band-packed layout + kernel for the column slab [col_lo, col_lo +
+    n_slab_cols) — the per-chip building block of the SHARDED collision
+    pass (nbx.parallel.shard.make_sharded_binned_collision_pass). Source
+    strips are built for the slab's +-(g+1)-column superset (clamped;
+    out-of-grid ids map to empty windows), so slab block contents are
+    bit-identical to the same blocks of a whole-grid build.
+
+    The single-device pass keeps its own whole-grid construction in
+    binned_collision_pass: this function's traced col_lo makes every
+    table offset dynamic, which measured ~8 ms slower at 131k than the
+    static whole-grid trace — fine per-chip (amortized 1/D), wrong as
+    the single-chip default.
+
+    Returns (delta [B*T, 8], evt [B*T, 8], body_slot [N] (>= B*T for
+    bodies with no slot in THIS slab), n_overflow over slab windows).
+    """
+    n = pos.shape[0]
+    g = n_cells
+    b = band_cells
+    n_cols = g * g
+    g3 = n_cols * g
+    t_cap, s_cap = packed_caps
+    n_bands = -(-g // b)
+    t_rows = _round_up(max(t_cap, 8), 8)
+    s_capw = max(s_cap, 8)
+    s_rows = _round_up(9 * s_capw, LANE)
+    n_tblocks = n_slab_cols * n_bands
+    i32 = jnp.int32
+    f32 = jnp.float32
+    col_lo = jnp.asarray(col_lo, i32)
+
+    feats = _body_feats(pos, vel, mass, radius, box_size)
+    par = jnp.asarray([[restitution, friction]], f32)
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
+    feats_sorted = jnp.concatenate([feats[order], feats[n:]], axis=0)
+
+    # ---- window tables (slab columns x bands) ----------------------------
+    cols = col_lo + jnp.arange(n_slab_cols, dtype=i32)
+    w_r = jnp.arange(n_bands, dtype=i32)
+    ts_tab = starts[cols[:, None] * g + w_r[None, :] * b]
+    te_tab = starts[
+        cols[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+    ]
+    cnt_t = te_tab - ts_tab
+    n_t_over = jnp.sum(jnp.maximum(cnt_t - t_rows, 0))
+    lo_cell = jnp.maximum(w_r * b - 1, 0)
+    hi_cell = jnp.minimum(w_r * b + b + 1, g)
+
+    # ---- source-window tables over the slab's column SUPERSET ------------
+    n_super = n_slab_cols + 2 * (g + 1)
+    sup_lo = col_lo - (g + 1)
+    sup_cols = sup_lo + jnp.arange(n_super, dtype=i32)
+    sup_ok = (sup_cols >= 0) & (sup_cols < n_cols)
+    sc = jnp.where(sup_ok, sup_cols, 0)
+    ss_tab = starts[
+        jnp.where(sup_ok[:, None], sc[:, None] * g + lo_cell[None, :], g3)
+    ]
+    se_tab = starts[
+        jnp.where(sup_ok[:, None], sc[:, None] * g + hi_cell[None, :], g3)
+    ]
+    # overflow counted over the SLAB's own columns (superset rows
+    # [g + 1, g + 1 + n_slab)) so per-chip psums add to the global count
+    slab_rows = jax.lax.dynamic_slice_in_dim(
+        se_tab - ss_tab, g + 1, n_slab_cols, 0
+    )
+    n_s_over = jnp.sum(jnp.maximum(slab_rows - s_capw, 0))
+    n_overflow = n_t_over + n_s_over
+
+    # ---- targets: consecutive-run row gather -----------------------------
+    ar_t = jnp.arange(t_rows, dtype=i32)
+    valid_t = ar_t[None, None, :] < jnp.minimum(cnt_t, t_rows)[..., None]
+    take_t = ts_tab[..., None] + ar_t
+    tgt = feats_sorted[
+        jnp.where(valid_t, jnp.minimum(take_t, n), n)
+    ].reshape(-1, 16)
+    # body -> target-block slot; non-slab bodies get the sentinel
+    p_r = jnp.arange(n, dtype=i32)
+    col_s = cid_sorted // g
+    w_own = (cid_sorted - col_s * g) // b
+    in_slab = (col_s >= col_lo) & (col_s < col_lo + n_slab_cols)
+    col_rel = jnp.clip(col_s - col_lo, 0, n_slab_cols - 1)
+    rank_t = p_r - ts_tab[col_rel, w_own]
+    slot_sorted = jnp.where(
+        in_slab & (rank_t < t_rows),
+        (col_rel * n_bands + w_own) * t_rows + rank_t,
+        n_tblocks * t_rows,
+    )
+    body_slot = slot_sorted[_invert_order(order, n)]
+
+    # ---- sources: superset strips once, whole-chunk fusion ---------------
+    ar_s = jnp.arange(s_capw, dtype=i32)
+    valid_s = (
+        ar_s[None, None, :]
+        < jnp.minimum(se_tab - ss_tab, s_capw)[..., None]
+    )
+    take_s = ss_tab[..., None] + ar_s
+    strips = feats_sorted[
+        jnp.where(valid_s, jnp.minimum(take_s, n), n)
+    ]  # [n_super, n_bands, s_capw, 16]
+    stripsT = strips.transpose(0, 1, 3, 2)
+    dead_strip = jnp.broadcast_to(
+        feats[n][:, None], (1, n_bands, 16, s_capw)
+    )
+    stripsT = jnp.concatenate([stripsT, dead_strip], axis=0)
+    neigh_g = _column_neighbors_of(cols, g)  # [n_slab, 9]; n_cols invalid
+    loc = jnp.where(neigh_g < n_cols, neigh_g - sup_lo, n_super)
+    fused = stripsT[loc]  # [n_slab, 9, n_bands, 16, s_capw]
+    fused = fused.transpose(0, 2, 3, 1, 4).reshape(
+        n_slab_cols, n_bands, 16, 9 * s_capw
+    )
+    lane_pad = jnp.broadcast_to(
+        feats[n][:, None],
+        (n_slab_cols, n_bands, 16, s_rows - 9 * s_capw),
+    )
+    src = jnp.concatenate([fused, lane_pad], axis=3).reshape(-1, s_rows)
+
+    delta, evt = pl.pallas_call(
+        _collide_kernel_fused,
+        grid=(n_tblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n_tblocks * t_rows * s_rows,
+            bytes_accessed=(n_tblocks * (t_rows * 16 + s_rows * 16
+                                         + t_rows * 16)) * 4,
+            transcendentals=n_tblocks * t_rows * s_rows,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(par, tgt, src)
+    return delta, evt, body_slot, n_overflow
+
+
+def epilogue_rows(delta, evt, body_slot):
+    """Per-body (delta row, event row) by slot gather: [n, 8] x2. Bodies
+    with no slot (body_slot >= rows) read the zero / sentinel padding row
+    — under a sharded slab split, masking these to zero and psum-ing over
+    chips reconstructs the whole-grid rows exactly (each body has a slot
+    on exactly one chip)."""
+    f32 = jnp.float32
+    m = delta.shape[0]
+    delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], axis=0)
+    evt_p = jnp.concatenate(
+        [evt, jnp.full((1, 8), DEPTH_SENTINEL, f32)], axis=0
+    )
+    slot = jnp.clip(body_slot, 0, m)
+    return delta_p[slot], evt_p[slot]

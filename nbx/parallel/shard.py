@@ -644,3 +644,121 @@ def _sharded_energy_jit(mesh: Mesh, state: ShardedState, G, eps, impl: str):
         out_specs=(P(), P()),
     )(state.pos, state.vel, state.mass)
     return ke, pe  # noqa: E501
+
+
+def make_sharded_binned_collision_pass(
+    mesh: Mesh,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    packed_caps: tuple[int, int],
+    restitution: float = 0.2,
+    friction: float = 0.5,
+    interpret: bool = False,
+):
+    """Column-slab sharded band-packed collision sweep — the multi-chip
+    form of nbx.ops.collide.binned_collision_pass (packed layout).
+
+    Decomposition: the packed layout's work is indexed by (i, j) cell
+    COLUMN, so chip d takes the contiguous column slab
+    [d n_cols/D, (d+1) n_cols/D) — it all-gathers the body shards
+    (replicating state, the same comm pattern as the sharded gravity
+    step), builds ONLY its slab's blocks + the superset source strips it
+    needs (packed_collision_blocks with a traced col_lo), and runs the
+    kernel on 1/D of the grid. Per-body output rows are zero-masked
+    outside the slab and psum-ed: each body has a slot on exactly one
+    chip, so the reduction reconstructs the whole-grid rows exactly
+    (bit-identical block content — only the psum's f32 addition order is
+    new, and every term but one is 0.0). Layout construction (sort,
+    tables, target gathers) is replicated O(N) work per chip; the O(N S)
+    kernel and the strip/fusion gathers scale 1/D.
+
+    Returns a jitted (pos, vel, mass, radius) -> same tuple as
+    binned_collision_pass, with per-body outputs SHARDED P("b") like the
+    inputs and scalar counters replicated.
+    """
+    from nbx.ops.collide import epilogue_rows, packed_collision_blocks_slab
+
+    n_dev = mesh.devices.size
+    g = n_cells
+    n_cols = g * g
+    if n_cols % n_dev:
+        raise ValueError(
+            f"n_cells^2 = {n_cols} columns must divide over {n_dev} devices"
+        )
+    n_slab = n_cols // n_dev
+
+    @jax.jit
+    def collision_pass(pos, vel, mass, radius):
+        n = pos.shape[0]
+        nb_sh = n // n_dev
+
+        def local(pos_l, vel_l, mass_l, rad_l):
+            i32 = jnp.int32
+            pos_g = jax.lax.all_gather(pos_l, "b", axis=0, tiled=True)
+            vel_g = jax.lax.all_gather(vel_l, "b", axis=0, tiled=True)
+            mass_g = jax.lax.all_gather(mass_l, "b", axis=0, tiled=True)
+            rad_g = jax.lax.all_gather(rad_l, "b", axis=0, tiled=True)
+            d = jax.lax.axis_index("b").astype(i32)
+            delta, evt, body_slot, novf = packed_collision_blocks_slab(
+                pos_g, vel_g, mass_g, rad_g, box_size, g, band_cells,
+                packed_caps, restitution, friction, d * n_slab, n_slab,
+                interpret,
+            )
+            out_d, out_e = epilogue_rows(delta, evt, body_slot)
+            in_slab = (body_slot < delta.shape[0])[:, None]
+            out_d = jax.lax.psum(jnp.where(in_slab, out_d, 0.0), "b")
+            out_e = jax.lax.psum(jnp.where(in_slab, out_e, 0.0), "b")
+            novf = jax.lax.psum(novf, "b")
+            n_bounces = (jnp.sum(out_d[:, 7]) / 2.0).astype(i32)
+            too_small = (
+                2.0 * jax.lax.pmax(jnp.max(rad_l), "b") > box_size / g
+            )
+
+            # finish on this chip's BODY shard (row slice of the psum)
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                x, d * nb_sh, nb_sh, 0
+            )
+            od, oe = sl(out_d), sl(out_e)
+            dvel, dpos, dtemp = od[:, 0:3], od[:, 3:6], od[:, 6]
+            # recompute the winner's pair quantities from the gathered
+            # state (j is a GLOBAL index; same formulas as the
+            # single-chip epilogue)
+            has = oe[:, 0] > 0.0
+            j_idx = jnp.where(has, oe[:, 1].astype(i32), -1)
+            jcl = jnp.clip(j_idx, 0, n - 1)
+            dd = pos_g[jcl] - pos_l
+            r2b = jnp.sum(dd * dd, axis=-1)
+            invb = jax.lax.rsqrt(jnp.where(r2b > 0.0, r2b, 1.0))
+            vnb = jnp.sum((vel_g[jcl] - vel_l) * dd, axis=-1) * invb
+            m_j = mass_g[jcl]
+            m_sum = mass_l + m_j
+            r_msb = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)
+            e_b = 0.5 * (mass_l * m_j * r_msb) * vnb * vnb
+            best = dict(
+                j=j_idx,
+                vn=jnp.where(has, vnb, 0.0),
+                q=jnp.where(has, e_b * r_msb, 0.0),
+                energy=jnp.where(has, e_b, 0.0),
+                m_j=jnp.where(has, m_j, 0.0),
+                approaching=has & (vnb < 0.0),
+            )
+            return dvel, dpos, dtemp, best, n_bounces, novf, too_small
+
+        best_spec = dict(
+            j=P("b"), vn=P("b"), q=P("b"), energy=P("b"), m_j=P("b"),
+            approaching=P("b"),
+        )
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("b", None), P("b", None), P("b"), P("b")),
+            out_specs=(P("b", None), P("b", None), P("b"), best_spec,
+                       P(), P(), P()),
+            # pallas_call's out_shape carries no vma annotation; the
+            # reduction structure here is explicit (masked psum), so the
+            # varying-across-mesh check adds nothing
+            check_vma=False,
+        )(pos, vel, mass, radius)
+
+    return collision_pass

@@ -258,3 +258,65 @@ def test_sharded_fracture_matches_scaled_semantics(mesh):
     # sampling is keyed differently, so compare conservation not draws)
     assert float(np.asarray(st.mass).sum()) <= 20.0 + 1e-4
     assert float(jnp.sum(gst.mass)) <= 20.0 + 1e-4
+
+
+def test_sharded_binned_collision_matches_single(mesh):
+    """Column-slab sharded packed collision sweep == single-device
+    binned_collision_pass: identical partner sets and counters, deltas to
+    the psum's trivial fp tolerance (one nonzero term per body)."""
+    from nbx.config import body_radius, default_materials
+    from nbx.ops.collide import binned_collision_pass
+
+    rng = np.random.default_rng(5)
+    n = 1024
+    box = 100.0
+    pos = rng.uniform(10, 90, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 1.5, (n, 3)).astype(np.float32)
+    mass = rng.uniform(2.0, 8.0, n).astype(np.float32)
+    mass[-64:] = 0.0  # dead slots
+    radius = np.asarray(
+        body_radius(jnp.asarray(mass), jnp.zeros(n, jnp.int32),
+                    default_materials())
+    ) * 2.0  # plenty of overlaps
+
+    single = binned_collision_pass(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(radius), box, 4, band_cells=2, packed_caps=(256, 384),
+        interpret=True,
+    )
+
+    sharded_pass = shard.make_sharded_binned_collision_pass(
+        mesh, box, 4, 2, (256, 384), interpret=True
+    )
+    s3 = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("b", None))
+    s1 = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("b"))
+    out = sharded_pass(
+        jax.device_put(jnp.asarray(pos), s3),
+        jax.device_put(jnp.asarray(vel), s3),
+        jax.device_put(jnp.asarray(mass), s1),
+        jax.device_put(jnp.asarray(radius), s1),
+    )
+
+    dv0, dp0, dt0, best0, nb0, ovf0, small0 = single
+    dv1, dp1, dt1, best1, nb1, ovf1, small1 = out
+    assert int(nb1) == int(nb0) > 0
+    assert int(ovf1) == int(ovf0) == 0
+    assert bool(small1) == bool(small0)
+    np.testing.assert_array_equal(np.asarray(best1["j"]),
+                                  np.asarray(best0["j"]))
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dt1), np.asarray(dt0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(best1["vn"]),
+                               np.asarray(best0["vn"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_binned_rejects_bad_mesh_split():
+    """Column count must divide over the device count."""
+    m = shard.make_mesh(8)
+    with pytest.raises(ValueError, match="columns"):
+        shard.make_sharded_binned_collision_pass(m, 100.0, 3, 2, (64, 96))

@@ -37,7 +37,11 @@ def main(n_frames: int = 90, out_dir: str = "/tmp/nbx_orbit",
     t0 = time.time()
     for f, cam in enumerate(cams):
         st, evs = sim.run(st, cfg, steps_per_frame)
-        ev1 = jax.tree.map(lambda x: x[-1], evs)
+        # flatten [steps, substeps, ...] -> substep-stacked [S, ...] so
+        # EVERY step's merges/flashes render, not just the last one's
+        ev1 = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), evs
+        )
         frame, img = P.render_and_advance(
             frame, st, cfg, ev1, cam, width=640, height=360, stars=stars,
         )

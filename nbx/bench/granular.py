@@ -109,6 +109,11 @@ def main(argv):
     cfgs = []
     for a in argv[3:]:
         parts = a.split(",")
+        if len(parts) == 4 and parts[3] != "a":
+            raise SystemExit(
+                f"bad cfg {a!r}: packed caps need BOTH Tc,Sc (g,K,B,Tc,Sc)"
+                " or 'a' for auto"
+            )
         cfgs.append((
             int(parts[0]), int(parts[1]),
             int(parts[2]) if len(parts) > 2 else None,

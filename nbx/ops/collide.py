@@ -298,7 +298,9 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
             jnp.sum(0.5 * vn * tvn, axis=1, keepdims=True),
             jnp.sum(jnp.where(appr, 1.0, 0.0), axis=1, keepdims=True),
         ]
-        # deepest-overlap partner, tie-break by smallest source gidx
+        # deepest-overlap partner, tie-break by smallest source gidx —
+        # including ACROSS chunks: equal depths merge by min gidx, so the
+        # pick is independent of chunk/lane position (layout-invariant)
         depth = jnp.where(overlap, min_d - dist, DEPTH_SENTINEL)
         dm = jnp.max(depth, axis=1, keepdims=True)  # [T, 1]
         cand = depth >= dm
@@ -309,7 +311,11 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
         else:
             acc = [a + x for a, x in zip(acc, sums)]
             better = dm > dmax
-            jsel = jnp.where(better, js, jsel)
+            tie = dm == dmax
+            jsel = jnp.where(
+                better, js,
+                jnp.where(tie, jnp.minimum(js, jsel), jsel),
+            )
             dmax = jnp.where(better, dm, dmax)
 
     # target side of the pair impulse: vel_i -= (a2 d - ft rv) / m_i
@@ -846,7 +852,11 @@ def _collide_epilogue(
 
 def _column_neighbors_of(cc, g: int):
     """9-neighborhood column ids [..., 9] for column ids cc (traced ok);
-    invalid offsets -> g*g. Same enumeration as _column_neighbors."""
+    invalid offsets -> g*g. KEEP IN SYNC with _column_neighbors: the
+    sharded slab layout's bit-identity with the single-chip blocks
+    depends on identical (di, dj) enumeration. (Not deduplicated on
+    purpose — the single-chip packed trace is XLA-sensitive: an
+    equivalent-looking refactor of it measured +8 ms at 131k.)"""
     n_cols = g * g
     ci, cj = cc // g, cc % g
     neigh = []
@@ -858,7 +868,10 @@ def _column_neighbors_of(cc, g: int):
     return jnp.stack(neigh, axis=-1)
 
 
-def packed_collision_blocks_slab(
+def packed_collision_blocks_slab(  # KEEP pallas_call spec in sync with
+    # binned_collision_pass's packed branch (same kernel, same tiling,
+    # same vmem budget) — the slab blocks must compile like the
+    # single-chip ones
     pos,
     vel,
     mass,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from nbx.ops.p3m import take_rows
 from nbx.render.colormap import body_color, tonemap
 
-_BIG_SPLATS = 256  # 11x11-tier capacity (top bodies by apparent radius)
+_BIG_SPLATS = 512  # 11x11-tier capacity (slot-order, not size-ranked)
 
 
 @jax.tree_util.register_dataclass
@@ -192,10 +192,13 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
 
     # Two footprint tiers (all static shapes): most bodies take the 5x5
-    # tap window; the top-256 by apparent radius above ~3 px take an 11x11
-    # window so big/near bodies render as wide soft discs instead of
-    # saturated clipped dots (ROADMAP renderer polish; the n_impostors
+    # tap window; the FIRST _BIG_SPLATS bodies (slot order — take_rows is
+    # index-order extraction, not a size ranking) with apparent radius
+    # above ~2 px take an 11x11 window so big/near bodies render as wide
+    # soft discs instead of saturated clipped dots (the n_impostors
     # nearest get exact per-pixel shading on top — nbx.render.impostor).
+    # Past the tier capacity big bodies clip in the 5x5 tier; a true
+    # size-ranked selection would need a top_k over N per frame.
     # threshold 2.0 px: in the 5x5 window a sigma above ~1.2 truncates at
     # +-1.7 sigma and reads as a box; the 11x11 tier keeps those round
     big = visible & (app > 2.0)

@@ -363,6 +363,10 @@ def _residual_rr_twolevel(
     """
     from jax.scipy.special import erf
 
+    if sub_cells < 4:
+        # the size-factor margin sub_cells/(sub_cells - 2.5) assumes
+        # >= ~1.25 cells of boundary padding; <= 2 flips its sign entirely
+        raise ValueError(f"sub_cells must be >= 4, got {sub_cells}")
     n = pos.shape[0]
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3))], 0)
     mass_p = jnp.concatenate([mass, jnp.zeros((1,))], 0)

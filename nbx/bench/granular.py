@@ -11,7 +11,13 @@ merge/fracture/timers + thermal) per step at scale, for a sweep of
     # cfg:   g,K[,B[,Tc,Sc]]  e.g. 32,16,6  (B = band_cells, omit for full
     #        columns); Tc,Sc = band-PACKED per-window caps (target rows,
     #        source lanes per guarded strip) — K is ignored when packed;
-    #        g,K,B,a = AUTO caps via packed_caps_for on the initial frame
+    #        g,K,B,a = AUTO caps via packed_caps_for on the initial frame;
+    #        g,K,B,c = occupancy-COMPACTED packed layout, caps + block
+    #        budget auto-measured via packed_layout_for (peaked scenes);
+    #        g,K,B,c0.999 = same with a cap QUANTILE (counted overflow
+    #        instead of tail-sized caps — the N-scaling tax trade);
+    #        g,K,B,a0.999 = whole-grid packed with a cap quantile;
+    #        g,K,B,Tc,Sc,M = explicit compacted (M = max_blocks)
 
 Methodology (CLAUDE.md): differential warmed-scan timing — warm the EXACT
 executables for both scan lengths, wall-clock each dispatch, materialize
@@ -76,12 +82,12 @@ def granular_cloud(n: int, seed: int = 0):
 
 
 def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
-                force_impl="pm", pm_grid=128, packed=None):
+                force_impl="pm", pm_grid=128, packed=None, max_blocks=None):
     def run(steps):
         st, totals = granular_full_kdk_scan(
             st0, cfg, BOX, n_steps=steps, n_cells=g, max_per_cell=k,
-            band_cells=band, packed_caps=packed, force_impl=force_impl,
-            pm_grid=pm_grid,
+            band_cells=band, packed_caps=packed, max_blocks=max_blocks,
+            force_impl=force_impl, pm_grid=pm_grid,
         )
         np.asarray(st.pos)  # materialize = the only reliable sync
         return st, totals
@@ -109,21 +115,29 @@ def main(argv):
     cfgs = []
     for a in argv[3:]:
         parts = a.split(",")
-        if len(parts) == 4 and parts[3] != "a":
+        if len(parts) == 4 and parts[3][0] not in ("a", "c"):
             raise SystemExit(
                 f"bad cfg {a!r}: packed caps need BOTH Tc,Sc (g,K,B,Tc,Sc)"
-                " or 'a' for auto"
+                " or 'a'/'c' (optionally 'a0.999'/'c0.999') for auto"
             )
+        if len(parts) > 3 and parts[3][0] in ("a", "c"):
+            mode = "auto" if parts[3][0] == "a" else "compact"
+            q = float(parts[3][1:]) if len(parts[3]) > 1 else 1.0
+            packed = (mode, q)
+        elif len(parts) > 3:
+            packed = (int(parts[3]), int(parts[4]))
+        else:
+            packed = None
         cfgs.append((
             int(parts[0]), int(parts[1]),
             int(parts[2]) if len(parts) > 2 else None,
-            ("auto" if parts[3] == "a" else (int(parts[3]), int(parts[4])))
-            if len(parts) > 3 else None,
+            packed,
+            int(parts[5]) if len(parts) > 5 else None,
         ))
     if not cfgs:
-        cfgs = [(32, 16, 8, (96, 104)), (32, 16, 4, (48, 72)),
-                (32, 16, 4, None), (32, 16, None, None),
-                (28, 12, 6, None)]
+        cfgs = [(32, 16, 8, (96, 104), None), (32, 16, 4, (48, 72), None),
+                (32, 16, 4, None, None), (32, 16, None, None, None),
+                (28, 12, 6, None, None)]
     if scene == "cloud":
         pos, vel, mass = granular_cloud(n)
     else:
@@ -131,16 +145,26 @@ def main(argv):
     st0 = make_granular_state(pos, vel, mass, key=0)
     cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.25,
                     fracture_threshold=8.0)
-    for g, k, band, packed in cfgs:
-        if packed == "auto":
+    for g, k, band, packed, max_blocks in cfgs:
+        if isinstance(packed, tuple) and packed and packed[0] == "auto":
             from nbx.ops.collide import packed_caps_for
 
-            packed = packed_caps_for(st0.pos, BOX, g, band)
+            packed = packed_caps_for(st0.pos, BOX, g, band,
+                                     quantile=packed[1])
+        elif isinstance(packed, tuple) and packed and packed[0] == "compact":
+            from nbx.ops.collide import packed_layout_for
+
+            lay = packed_layout_for(st0.pos, BOX, g, band,
+                                    quantile=packed[1])
+            packed = lay["packed_caps"]
+            max_blocks = lay["max_blocks"]
+            print(json.dumps(dict(layout=lay)), flush=True)
         ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
-                                 packed=packed)
+                                 packed=packed, max_blocks=max_blocks)
         print(json.dumps(dict(
             n=n, scene=scene, force=force,
             n_cells=g, max_per_cell=k, band_cells=band, packed_caps=packed,
+            max_blocks=max_blocks,
             ms_per_step=round(ms * 1e3, 2),
             n_overflow=totals["n_overflow"],
             cell_too_small=bool(totals["cell_too_small"]),

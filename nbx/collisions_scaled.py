@@ -116,7 +116,7 @@ class ScaledEvents(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
-                     "interpret"),
+                     "max_blocks", "interpret"),
 )
 def resolve_collisions_scaled(
     state: GranularState,
@@ -127,6 +127,7 @@ def resolve_collisions_scaled(
     max_per_cell: int = 16,
     band_cells: int | None = None,
     packed_caps: tuple[int, int] | None = None,
+    max_blocks: int | None = None,
     interpret: bool = False,
 ) -> tuple[GranularState, ScaledEvents]:
     """One full collision substep at scale (reference resolveCollisions,
@@ -141,7 +142,7 @@ def resolve_collisions_scaled(
         binned_collision_pass(
             state.pos, state.vel, state.mass, radius, box_size, n_cells,
             cfg.restitution, cfg.friction, max_per_cell, band_cells,
-            packed_caps, interpret,
+            packed_caps, max_blocks, interpret,
         )
     )
     pos = state.pos + dpos
@@ -285,7 +286,7 @@ def resolve_collisions_scaled(
     jax.jit,
     static_argnames=(
         "n_steps", "n_cells", "max_per_cell", "band_cells", "packed_caps",
-        "force_impl", "pm_grid", "interpret",
+        "max_blocks", "force_impl", "pm_grid", "interpret",
     ),
 )
 def granular_full_kdk_scan(
@@ -297,6 +298,7 @@ def granular_full_kdk_scan(
     max_per_cell: int = 16,
     band_cells: int | None = None,
     packed_caps: tuple[int, int] | None = None,
+    max_blocks: int | None = None,
     force_impl: str = "auto",
     pm_grid: int = 128,
     interpret: bool = False,
@@ -338,7 +340,7 @@ def granular_full_kdk_scan(
         st = st._replace(pos=pos, vel=vel)
         st, ev = resolve_collisions_scaled(
             st, cfg, h, box_size, n_cells, max_per_cell, band_cells,
-            packed_caps, interpret,
+            packed_caps, max_blocks, interpret,
         )
         # slots reborn by merge/fracture are NEWBORN: acc = 0
         # (index.html:217) — their pre-event acc includes dead partners'

@@ -62,7 +62,18 @@ TPU-first structure (NOT a translation of the scalar sweep):
     scatter serializes (the same lesson as the rank-scatter rule in
     CLAUDE.md). Windows exceeding a cap drop bodies (targets) or miss
     partners (sources); both are counted into n_overflow (no-silent-caps),
-    zero on sane caps.
+    zero on sane caps. OVERFLOW SYMMETRY: target-cap drops (and the
+    compacted layout's window-budget drops) degrade symmetrically — the
+    dropped body is masked out of the source strips too, so surviving
+    impulses stay pairwise equal-and-opposite and momentum is conserved
+    under that overflow class. SOURCE-cap drops are one-sided by
+    construction (a body's rank differs between the up-to-3 band strips
+    that contain it, so per-body masking cannot express per-strip
+    presence): a strip-tail body still receives impulses as a target that
+    its partners never get back — measured momentum residual on a forced
+    source-overflow scene. Treat nonzero n_overflow from source caps as a
+    re-tune signal (packed_caps_for covers the tail with slack), not a
+    running mode.
   * both ordered copies of each pair are processed (i as target of j and
     vice versa), each side accumulating its own half of the impulse — the
     Jacobi application, same divergence note as nbx.collisions.
@@ -209,7 +220,12 @@ def _collide_kernel(neigh_ref, par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
         axis=1,
     )
     old = evt_ref[:]
-    evt_ref[:] = jnp.where(new[:, 0:1] > old[:, 0:1], new, old)
+    # cross-visit merge: max depth, ties broken by smallest source gidx —
+    # matching the fused kernel's cross-chunk rule so every layout picks
+    # the same partner on bitwise-equal depths (symmetric/lattice scenes)
+    better = new[:, 0:1] > old[:, 0:1]
+    tie = (new[:, 0:1] == old[:, 0:1]) & (new[:, 1:2] < old[:, 1:2])
+    evt_ref[:] = jnp.where(better | tie, new, old)
 
 
 def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
@@ -369,6 +385,96 @@ def _column_neighbors(g: int):
     return jnp.stack(neigh, axis=1)
 
 
+def _window_counts(pos, box_size: float, n_cells: int, band_cells: int):
+    """Per-(column, band) occupancies of target windows and guarded source
+    strips, as numpy arrays [n_cols, n_bands] (host-side measurement)."""
+    import numpy as np
+
+    g = n_cells
+    b = band_cells
+    n_bands = -(-g // b)
+    _, starts, _ = cell_sort(jnp.asarray(pos), box_size, g)
+    st = np.asarray(starts)
+    cols = np.arange(g * g, dtype=np.int64)
+    w = np.arange(n_bands, dtype=np.int64)
+    cnt_t = (
+        st[cols[:, None] * g + np.minimum(w[None, :] * b + b, g)]
+        - st[cols[:, None] * g + w[None, :] * b]
+    )
+    cnt_s = (
+        st[cols[:, None] * g + np.minimum(w[None, :] * b + b + 1, g)]
+        - st[cols[:, None] * g + np.maximum(w[None, :] * b - 1, 0)]
+    )
+    return cnt_t, cnt_s
+
+
+def packed_layout_for(
+    pos,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    slack: float = 1.25,
+    quantile: float = 1.0,
+    block_slack: float = 1.3,
+    max_source_lanes: int = 8192,
+    max_block_pair_lanes: int = 2 * 1024 * 1024,
+) -> dict:
+    """Measure THIS frame's window occupancy and suggest an occupancy-
+    COMPACTED packed configuration for binned_collision_pass:
+    dict(packed_caps=(t_cap, s_cap), max_blocks, occupied, occupied_frac).
+
+    HOST-side (returns python ints — static jit args; call once per scene
+    or when n_overflow goes nonzero). Unlike packed_caps_for, tail-sized
+    caps are acceptable here: only OCCUPIED windows pay them, so the lane
+    bound is much looser — it guards the VMEM block size, not the total
+    pair work. block_slack leaves headroom for occupancy drift (bodies
+    migrating into previously-empty windows) before a re-tune."""
+    import numpy as np
+
+    cnt_t, cnt_s = _window_counts(pos, box_size, n_cells, band_cells)
+
+    def pick(cnt):
+        o = cnt[cnt > 0]
+        if o.size == 0:
+            return 8
+        v = o.max() if quantile >= 1.0 else np.quantile(o, quantile)
+        return max(8, int(np.ceil(v * slack)))
+
+    t_cap, s_cap = pick(cnt_t), pick(cnt_s)
+    if 9 * s_cap > max_source_lanes:
+        raise ValueError(
+            f"compacted packed caps ({t_cap}, {s_cap}) need {9 * s_cap}"
+            f" fused source lanes (> {max_source_lanes}): the source block"
+            " would not fit VMEM. Use a finer n_cells or a lower quantile."
+        )
+    t_rows = _round_up(max(t_cap, 8), 8)
+    s_rows = _round_up(max(9 * s_cap, 9 * 8), LANE)
+    if t_rows * s_rows > max_block_pair_lanes:
+        # Per-PROGRAM size bound, separate from the lane/VMEM bound: the
+        # fused kernel unrolls the source axis in 128-lane chunks, so a
+        # tail-cap block like (1200, 11136) becomes an ~87-chunk Mosaic
+        # program whose remote compile never returns (measured; the shipped
+        # 131k config is 96 x 1024 = 98k pair lanes and compiles in
+        # seconds). Total pair WORK being affordable does not make one
+        # PROGRAM of it compilable.
+        raise ValueError(
+            f"compacted packed block ({t_rows} x {s_rows}) ="
+            f" {t_rows * s_rows} pair lanes per program"
+            f" (> {max_block_pair_lanes}): the kernel's chunk unroll would"
+            " not compile in reasonable time. Use a finer n_cells (smaller"
+            " windows) or a lower quantile."
+        )
+    occupied = int((cnt_t > 0).sum())
+    total = int(cnt_t.size)
+    max_blocks = max(8, -(-int(np.ceil(occupied * block_slack)) // 8) * 8)
+    return dict(
+        packed_caps=(t_cap, s_cap),
+        max_blocks=max_blocks,
+        occupied=occupied,
+        occupied_frac=occupied / total,
+    )
+
+
 def packed_caps_for(
     pos,
     box_size: float,
@@ -399,21 +505,7 @@ def packed_caps_for(
     """
     import numpy as np
 
-    g = n_cells
-    b = band_cells
-    n_bands = -(-g // b)
-    _, starts, _ = cell_sort(jnp.asarray(pos), box_size, g)
-    st = np.asarray(starts)
-    cols = np.arange(g * g, dtype=np.int64)
-    w = np.arange(n_bands, dtype=np.int64)
-    cnt_t = (
-        st[cols[:, None] * g + np.minimum(w[None, :] * b + b, g)]
-        - st[cols[:, None] * g + w[None, :] * b]
-    )
-    cnt_s = (
-        st[cols[:, None] * g + np.minimum(w[None, :] * b + b + 1, g)]
-        - st[cols[:, None] * g + np.maximum(w[None, :] * b - 1, 0)]
-    )
+    cnt_t, cnt_s = _window_counts(pos, box_size, n_cells, band_cells)
 
     def pick(cnt):
         occ = cnt[cnt > 0]
@@ -438,7 +530,7 @@ def packed_caps_for(
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
-                     "interpret"),
+                     "max_blocks", "interpret"),
 )
 def binned_collision_pass(
     pos,  # [N, 3] — binning domain [0, box)^3 (out-of-box clipped to faces)
@@ -452,6 +544,7 @@ def binned_collision_pass(
     max_per_cell: int = 16,
     band_cells: int | None = None,
     packed_caps: tuple[int, int] | None = None,
+    max_blocks: int | None = None,
     interpret: bool = False,
 ):
     """One fused collision sweep over the 27-cell neighborhoods.
@@ -475,6 +568,21 @@ def binned_collision_pass(
     IGNORED (no per-cell slots exist); n_overflow counts window-cap
     violations instead (target drops + missed source slots) and is 0
     whenever the caps cover every window.
+
+    max_blocks=M (requires packed_caps) switches to the occupancy-COMPACTED
+    packed layout: kernel programs (and their layout gathers) exist only
+    for the first M OCCUPIED windows — a peaked scene (debris annulus:
+    ~2% of windows occupied) stops paying grid, DMA and gather cost for
+    empty windows, which is what made uniform caps explode there. The
+    per-window source neighborhoods are gathered directly (no whole-grid
+    strips table, whose [windows, s_cap] footprint also exploded at large
+    caps). Bodies in occupied windows beyond M are dropped SYMMETRICALLY
+    (target + source roles) and counted into n_overflow, as are source
+    lanes past s_cap (counted per fused neighborhood here — a superset of
+    the per-strip count of the uncompacted layout). Size M with
+    packed_layout_for. Uniform scenes should keep max_blocks=None: the
+    static whole-grid trace and chunk-fused strips measure faster when
+    ~every window is occupied.
     """
     n = pos.shape[0]
     g = n_cells
@@ -488,6 +596,18 @@ def binned_collision_pass(
 
     par = jnp.asarray([[restitution, friction]], f32)
     pair_ops = 60  # ~VPU ops per pair evaluation
+
+    if max_blocks is not None:
+        if packed_caps is None or band_cells is None:
+            raise ValueError("max_blocks requires band_cells and packed_caps")
+        delta, evt, body_slot, n_overflow = _packed_compact_blocks(
+            feats, par, pos, box_size, g, band_cells, packed_caps,
+            max_blocks, interpret,
+        )
+        return _collide_epilogue(
+            delta, evt, body_slot, pos, vel, mass, n, n_overflow,
+            cell_too_small,
+        )
 
     if packed_caps is not None:
         if band_cells is None:
@@ -549,14 +669,22 @@ def binned_collision_pass(
         body_slot = slot_sorted[_invert_order(order, n)]
 
         # ---- sources: strips once, then whole-chunk fusion ---------------
+        # Target-cap-dropped bodies (rank_t >= t_rows) are masked OUT of the
+        # source strips too: otherwise partners receive impulses the dropped
+        # body never gets back and counted overflow breaks momentum
+        # conservation asymmetrically (the banded/full-column layouts drop
+        # a table-overflow body from both roles; this keeps packed the same).
+        t_ok = jnp.concatenate(
+            [rank_t < t_rows, jnp.zeros((1,), bool)]
+        )  # [n + 1], indexed by SORTED position
         ar_s = jnp.arange(s_capw, dtype=i32)
         valid_s = (
             ar_s[None, None, :]
             < jnp.minimum(se_tab - ss_tab, s_capw)[..., None]
         )
-        take_s = ss_tab[..., None] + ar_s
+        take_s = jnp.minimum(ss_tab[..., None] + ar_s, n)
         strips = feats_sorted[
-            jnp.where(valid_s, jnp.minimum(take_s, n), n)
+            jnp.where(valid_s & t_ok[take_s], take_s, n)
         ]  # [n_cols, n_bands, s_capw, 16]
         stripsT = strips.transpose(0, 1, 3, 2)  # [.., 16, s_capw]
         dead_strip = jnp.broadcast_to(
@@ -788,6 +916,163 @@ def binned_collision_pass(
     )
 
 
+def _packed_compact_blocks(
+    feats,
+    par,
+    pos,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    packed_caps: tuple[int, int],
+    max_blocks: int,
+    interpret: bool,
+):
+    """Occupancy-COMPACTED band-packed layout: one kernel program per
+    OCCUPIED (column, band) window, first max_blocks in flat window order
+    (see binned_collision_pass docstring).
+
+    Construction differences vs the whole-grid packed layout:
+      * the window map is a traced take_rows over the occupancy flags —
+        empty windows get no program, no target gather, no source gather;
+      * each selected window's fused source block is gathered DIRECTLY from
+        its 9 neighbor guarded runs (row gathers, ~9 s_cap rows per
+        selected window) instead of through the whole-grid strips table,
+        whose [n_windows, s_cap, 16] footprint is exactly what blew up on
+        peaked scenes with tail-sized caps;
+      * bodies in occupied windows past the max_blocks budget are dropped
+        from BOTH roles (counted) — same symmetric-degradation rule as the
+        cap drops.
+    """
+    from nbx.ops.p3m import take_rows
+
+    n = pos.shape[0]
+    g = n_cells
+    b = band_cells
+    n_cols = g * g
+    g3 = n_cols * g
+    t_cap, s_cap = packed_caps
+    n_bands = -(-g // b)
+    t_rows = _round_up(max(t_cap, 8), 8)
+    s_capw = max(s_cap, 8)
+    s_rows = _round_up(9 * s_capw, LANE)
+    bmax = max_blocks
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
+    feats_sorted = jnp.concatenate([feats[order], feats[n:]], axis=0)
+
+    # ---- window occupancy + selection (flat id = col * n_bands + w) ------
+    cols = jnp.arange(n_cols, dtype=i32)
+    w_r = jnp.arange(n_bands, dtype=i32)
+    ts_tab = starts[cols[:, None] * g + w_r[None, :] * b]
+    te_tab = starts[
+        cols[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+    ]
+    cnt_t = te_tab - ts_tab  # [n_cols, n_bands]
+    occ = (cnt_t > 0).reshape(-1)
+    wsel, wvalid = take_rows(occ, bmax)  # first bmax occupied windows
+    col_sel = wsel // n_bands
+    w_sel = wsel - col_sel * n_bands
+    wrank = jnp.cumsum(occ.astype(i32)) - 1
+    selected = occ & (wrank < bmax)
+    n_w_drop = jnp.sum(jnp.where(occ & ~selected, cnt_t.reshape(-1), 0))
+
+    ts_sel = ts_tab[col_sel, w_sel]  # [B]
+    cnt_sel = jnp.where(wvalid, cnt_t[col_sel, w_sel], 0)
+    n_t_over = jnp.sum(jnp.maximum(cnt_sel - t_rows, 0))
+
+    # ---- targets: consecutive-run row gather per selected window ---------
+    ar_t = jnp.arange(t_rows, dtype=i32)
+    valid_t = ar_t[None, :] < jnp.minimum(cnt_sel, t_rows)[:, None]
+    take_t = jnp.minimum(ts_sel[:, None] + ar_t, n)
+    tgt = feats_sorted[jnp.where(valid_t, take_t, n)].reshape(-1, 16)
+
+    # body -> its target-block slot (window rank x t_rows + window rank_t)
+    p_r = jnp.arange(n, dtype=i32)
+    col_s = cid_sorted // g
+    w_own = (cid_sorted - col_s * g) // b
+    f_own = col_s * n_bands + w_own
+    rank_t = p_r - starts[col_s * g + w_own * b]
+    sel_own = selected[f_own]
+    slot_sorted = jnp.where(
+        sel_own & (rank_t < t_rows),
+        wrank[f_own] * t_rows + rank_t,
+        bmax * t_rows,
+    )
+    body_slot = slot_sorted[_invert_order(order, n)]
+
+    # ---- sources: 9 neighbor guarded runs, gathered directly -------------
+    # symmetric-drop mask: target-dropped or window-dropped bodies vanish
+    # from the source role too (momentum conservation under counted
+    # overflow, same rule as the whole-grid packed layout)
+    t_ok = jnp.concatenate(
+        [sel_own & (rank_t < t_rows), jnp.zeros((1,), bool)]
+    )
+    lo_cell = jnp.maximum(w_sel * b - 1, 0)  # [B]
+    hi_cell = jnp.minimum(w_sel * b + b + 1, g)
+    neigh_sel = _column_neighbors_of(col_sel, g)  # [B, 9]; n_cols invalid
+    okn = neigh_sel < n_cols
+    ss9 = starts[jnp.where(okn, neigh_sel * g + lo_cell[:, None], g3)]
+    se9 = starts[jnp.where(okn, neigh_sel * g + hi_cell[:, None], g3)]
+    run = se9 - ss9  # [B, 9]
+    # counted per fused neighborhood (a strip shared by several selected
+    # windows counts once per use) — a conservative superset of the
+    # whole-grid layout's per-strip count
+    n_s_over = jnp.sum(
+        jnp.where(wvalid[:, None], jnp.maximum(run - s_capw, 0), 0)
+    )
+    ar_s = jnp.arange(s_capw, dtype=i32)
+    valid_s = ar_s[None, None, :] < jnp.minimum(run, s_capw)[..., None]
+    valid_s = valid_s & wvalid[:, None, None]
+    take_s = jnp.minimum(ss9[..., None] + ar_s, n)
+    src_rows = feats_sorted[
+        jnp.where(valid_s & t_ok[take_s], take_s, n)
+    ]  # [B, 9, s_capw, 16]
+    src = src_rows.transpose(0, 3, 1, 2).reshape(bmax, 16, 9 * s_capw)
+    lane_pad = jnp.broadcast_to(
+        feats[n][:, None], (bmax, 16, s_rows - 9 * s_capw)
+    )
+    src = jnp.concatenate([src, lane_pad], axis=2).reshape(-1, s_rows)
+
+    n_overflow = n_t_over + n_s_over + n_w_drop
+
+    delta, evt = pl.pallas_call(
+        _collide_kernel_fused,
+        grid=(bmax,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+            jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * bmax * t_rows * s_rows,
+            bytes_accessed=(bmax * (t_rows * 16 + s_rows * 16
+                                    + t_rows * 16)) * 4,
+            transcendentals=bmax * t_rows * s_rows,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(par, tgt, src)
+    return delta, evt, body_slot, n_overflow
+
+
 def _invert_order(order, n):
     """Body id -> sorted position (inverse permutation of cell_sort)."""
     return (
@@ -976,14 +1261,22 @@ def packed_collision_blocks_slab(  # KEEP pallas_call spec in sync with
     body_slot = slot_sorted[_invert_order(order, n)]
 
     # ---- sources: superset strips once, whole-chunk fusion ---------------
+    # Mask target-cap-dropped bodies out of the source role, using the
+    # GLOBAL window rank (a body can be target-dropped in another chip's
+    # slab yet sourced here) — keeps slab blocks bit-identical to the
+    # single-chip packed build, which applies the same mask.
+    rank_g = p_r - starts[col_s * g + w_own * b]
+    t_ok = jnp.concatenate(
+        [rank_g < t_rows, jnp.zeros((1,), bool)]
+    )  # [n + 1], indexed by SORTED position
     ar_s = jnp.arange(s_capw, dtype=i32)
     valid_s = (
         ar_s[None, None, :]
         < jnp.minimum(se_tab - ss_tab, s_capw)[..., None]
     )
-    take_s = ss_tab[..., None] + ar_s
+    take_s = jnp.minimum(ss_tab[..., None] + ar_s, n)
     strips = feats_sorted[
-        jnp.where(valid_s, jnp.minimum(take_s, n), n)
+        jnp.where(valid_s & t_ok[take_s], take_s, n)
     ]  # [n_super, n_bands, s_capw, 16]
     stripsT = strips.transpose(0, 1, 3, 2)
     dead_strip = jnp.broadcast_to(

@@ -296,9 +296,14 @@ def make_sharded_physics_step(mesh: Mesh, cfg, impl: str = "auto"):
     its own shard. Pure replicated arithmetic; no negotiation, no extra
     round trips beyond the payload gather.
 
-    Pair math is dense [N/D, N] jnp (the correctness/semantics reference);
-    the production-scale path would fuse the binned Pallas kernel
-    (nbx.ops.collide) per chip with halo exchange of boundary cells.
+    Pair math is dense [N/D, N] jnp (the correctness/semantics reference;
+    interactive scale). The production-scale path is
+    make_sharded_granular_step, which fuses the binned Pallas kernel
+    (nbx.ops.collide) per chip.
+
+    PRNG contract: `key` is consumed as-is — the caller MUST pass a fresh
+    key per step (jax.random.fold_in(base, step) or split), or every
+    fracture event replays identical fragment counts/velocities.
     """
     from nbx.collisions import _make_fragments
     from nbx.config import body_radius, inverse_mass
@@ -762,3 +767,310 @@ def make_sharded_binned_collision_pass(
         )(pos, vel, mass, radius)
 
     return collision_pass
+
+
+def make_sharded_granular_step(
+    mesh: Mesh,
+    cfg,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    packed_caps: tuple[int, int],
+    force_impl: str = "auto",
+    pm_grid: int = 128,
+    interpret: bool = False,
+):
+    """Sharded FULL-physics granular step AT SCALE: KDK gravity + the
+    band-packed Pallas collision sweep + the complete event machinery of
+    nbx.collisions_scaled (contact timers, merges, fractures, heating,
+    thermal decay), body axis sharded over the mesh.
+
+    This replaces make_sharded_physics_step's dense [N/D, N] pair matrices
+    (which cap the multi-chip full-physics path at interactive N) with the
+    column-slab decomposition of the packed collision kernel
+    (packed_collision_blocks_slab): each chip runs the kernel on 1/D of the
+    (column, band) grid, a masked psum reconstructs the whole-grid per-body
+    rows bit-exactly (each body has a slot on exactly one chip), and the
+    collisions_scaled semantics (mutual deepest-partner gates, reference
+    index.html:293-443) run on the chip's own shard against gathered
+    decision fields.
+
+    Comm is all-gather over ICI: O(N) per-chip replication, the same
+    pattern (and largely the same buffers) the direct gravity path needs
+    anyway. Per-chip pair WORK is O(N S / D) kernel + O(N) layout/event
+    arithmetic — the 1M full-physics multi-chip step this unlocks was
+    impossible with the dense O(N * N/D) temporaries.
+
+    force_impl: "auto"/"pallas"/"jnp" = direct-sum rectangular (all-on-
+    local); "pm" = particle-mesh on a pm_grid^3 isolated mesh, FFT work
+    replicated per chip (O(g^3 log g), N-independent) and the local rows
+    sliced out; "zero" = contact dynamics only.
+
+    PRNG contract: `key` is consumed as-is and must be fresh per step
+    (jax.random.fold_in(base, step)); it must also be IDENTICAL across
+    chips (it is, unless the caller shards it) — fragment sampling is
+    replicated arithmetic.
+
+    Parity: step-for-step equal to the single-chip sequence
+    [half-kick, drift, force, resolve_collisions_scaled(packed), zero acc
+    on touched, half-kick, thermal.decay] with the same static layout
+    arguments — gated by tests/test_shard.py on the virtual mesh.
+
+    Returns jitted (state: ShardedBodyState, h, key) -> (state, counters)
+    with counters = n_merges/n_fractures/n_bounces/n_overflow/n_dropped/
+    cell_too_small (ScaledEvents' scalar fields; the event LOG arrays for
+    the renderer stay single-chip — flashes at 1M are diagnosed from
+    counters, drawn from the interactive path).
+    """
+    from nbx import thermal
+    from nbx.collisions import _make_fragments
+    from nbx.config import body_radius
+    from nbx.ops.collide import epilogue_rows, packed_collision_blocks_slab
+    from nbx.ops.p3m import take_rows
+
+    if force_impl == "pm":
+        from nbx.ops.pm import pm_acceleration
+
+    impl = _resolve_impl("auto" if force_impl not in ("pallas", "jnp")
+                         else force_impl)
+    n_dev = mesh.devices.size
+    g = n_cells
+    n_cols = g * g
+    if n_cols % n_dev:
+        raise ValueError(
+            f"n_cells^2 = {n_cols} columns must divide over {n_dev} devices"
+        )
+    n_slab = n_cols // n_dev
+    mats = cfg.materials
+    f_cap = cfg.max_fractures
+
+    @jax.jit
+    def step(state: ShardedBodyState, h, key):
+        def local(pos, vel, acc, mass, mat, temp, partner, t_prev):
+            i32 = jnp.int32
+            nl = pos.shape[0]
+            me = jax.lax.axis_index("b").astype(i32)
+            gidx = me * nl + jnp.arange(nl, dtype=i32)
+            gather = lambda x: jax.lax.all_gather(x, "b", axis=0, tiled=True)
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, me * nl, nl, 0)
+
+            # ---- KDK first half + force on pre-collision state ----------
+            vel = vel + acc * (0.5 * h)
+            pos = pos + vel * h
+            pos_g = gather(pos)
+            mass_g = gather(mass)
+            n = pos_g.shape[0]
+            if force_impl == "zero":
+                acc_new = jnp.zeros_like(pos)
+            elif force_impl == "pm":
+                acc_new = sl(pm_acceleration(
+                    pos_g, mass_g, cfg.G, box_size, g=pm_grid, isolated=True
+                ))
+            else:
+                acc_new = _local_acc(
+                    pos_g, mass_g, pos, cfg.G, cfg.softening, impl
+                )
+
+            # ---- packed collision sweep on this chip's column slab -------
+            radius = body_radius(mass, mat, mats)
+            rad_g = gather(radius)
+            vel_g = gather(vel)
+            delta, evt, body_slot, novf = packed_collision_blocks_slab(
+                pos_g, vel_g, mass_g, rad_g, box_size, g, band_cells,
+                packed_caps, cfg.restitution, cfg.friction,
+                me * n_slab, n_slab, interpret,
+            )
+            out_d, out_e = epilogue_rows(delta, evt, body_slot)
+            in_slab = (body_slot < delta.shape[0])[:, None]
+            out_d = jax.lax.psum(jnp.where(in_slab, out_d, 0.0), "b")
+            out_e = jax.lax.psum(jnp.where(in_slab, out_e, 0.0), "b")
+            n_overflow = jax.lax.psum(novf, "b")
+            n_bounces = (jnp.sum(out_d[:, 7]) / 2.0).astype(i32)
+            too_small = 2.0 * jax.lax.pmax(jnp.max(radius), "b") > box_size / g
+            od, oe = sl(out_d), sl(out_e)
+
+            # winner's pair quantities from the gathered PRE-PASS state
+            # (same formulas as _collide_epilogue, j is a GLOBAL index)
+            has = oe[:, 0] > 0.0
+            j_idx = jnp.where(has, oe[:, 1].astype(i32), -1)
+            jcl = jnp.clip(j_idx, 0, n - 1)
+            dd = pos_g[jcl] - pos
+            r2b = jnp.sum(dd * dd, axis=-1)
+            invb = jax.lax.rsqrt(jnp.where(r2b > 0.0, r2b, 1.0))
+            vnb = jnp.sum((vel_g[jcl] - vel) * dd, axis=-1) * invb
+            m_j = mass_g[jcl]
+            m_sum = mass + m_j
+            r_msb = 1.0 / jnp.where(m_sum > 0.0, m_sum, 1.0)
+            e_b = 0.5 * (mass * m_j * r_msb) * vnb * vnb
+            q_l = jnp.where(has, e_b * r_msb, 0.0)
+            appr_l = has & (vnb < 0.0)
+
+            # apply the sweep's Jacobi deltas (resolve_collisions_scaled)
+            pos = pos + od[:, 3:6]
+            vel = vel + od[:, 0:3]
+            temp = temp + od[:, 6]
+
+            # ---- contact timers on the deepest partner (L314-319) --------
+            same = j_idx == partner
+            contact_t = jnp.where(
+                has, jnp.where(same, t_prev + h, h), 0.0
+            )
+            partner_new = jnp.where(has, j_idx, -1)
+
+            # ---- event gates on mutual partners (L340-359) ---------------
+            partner_g = gather(partner_new)
+            t_g = gather(contact_t)
+            jc = jnp.clip(partner_new, 0, n - 1)
+            mutual = has & (partner_g[jc] == gidx)
+            t_pair = jnp.minimum(contact_t, t_g[jc])
+            # vn/q/E are bitwise symmetric between the two owners (the
+            # subtractions negate, products cancel), so local-only gates
+            # reach the same decision on both chips — no appr/q gather
+            merge_m = (
+                mutual & appr_l
+                & (t_pair > cfg.merge_time)
+                & (q_l < cfg.fracture_threshold * 2.0)
+            )
+            fract_m = (
+                mutual & appr_l & ~merge_m
+                & (q_l > cfg.fracture_threshold)
+                & ((mass > cfg.min_fragment_mass)
+                   | (m_j > cfg.min_fragment_mass))
+            )
+            primary_m = merge_m & (gidx < jc)
+            killed_m = merge_m & (gidx > jc)
+            primary_f = fract_m & (gidx < jc)
+
+            # ---- merges in place into the lower slot (L392-409) ----------
+            pos2_g = gather(pos)  # post-delta values for merge/fracture math
+            vel2_g = gather(vel)
+            temp2_g = gather(temp)
+            mat_g = gather(mat)
+            mjc = mass_g[jc]
+            tot = mass + mjc
+            safe_tot = jnp.where(tot > 0, tot, 1.0)
+            mpos = (pos * mass[:, None] + pos2_g[jc] * mjc[:, None]) / safe_tot[:, None]
+            mvel = (vel * mass[:, None] + vel2_g[jc] * mjc[:, None]) / safe_tot[:, None]
+            mtemp = (temp * mass + temp2_g[jc] * mjc) / safe_tot
+            mmat = jnp.where(mass > mjc, mat, mat_g[jc])  # heavier (L403)
+
+            # fracture payload BEFORE the merge/kill writes (gates are
+            # exclusive, so these rows are untouched by them)
+            f_tot_l = mass + mjc
+            f_safe_l = jnp.where(fract_m, f_tot_l, 1.0)
+            f_com = (pos * mass[:, None] + pos2_g[jc] * mjc[:, None]) / f_safe_l[:, None]
+            f_bvel = (vel * mass[:, None] + vel2_g[jc] * mjc[:, None]) / f_safe_l[:, None]
+            e_best = jnp.where(fract_m, e_b, 0.0)
+            f_temp = jnp.maximum(temp, temp2_g[jc]) + (e_best / f_safe_l) * 0.1
+            f_mat = jnp.where(mass > mjc, mat, mat_g[jc])
+            f_rsum = radius + rad_g[jc]
+
+            pm2 = primary_m[:, None]
+            pos = jnp.where(pm2, mpos, pos)
+            vel = jnp.where(pm2, mvel, jnp.where(killed_m[:, None], 0.0, vel))
+            temp = jnp.where(primary_m, mtemp, jnp.where(killed_m, 0.0, temp))
+            mat = jnp.where(primary_m, mmat, mat)
+            mass = jnp.where(primary_m, tot, jnp.where(killed_m, 0.0, mass))
+
+            # ---- fractures: replicated extraction + fragment sampling ----
+            pf_g = gather(primary_f)
+            fi_g, f_valid = take_rows(pf_g, f_cap)  # identical on all chips
+            fj_g = jnp.clip(partner_g, 0, n - 1)[fi_g]
+            frag = _make_fragments(
+                key, cfg, f_valid,
+                gather(f_com)[fi_g], gather(f_bvel)[fi_g],
+                jnp.where(f_valid, gather(e_best)[fi_g], 0.0),
+                gather(f_tot_l)[fi_g], gather(f_temp)[fi_g],
+                gather(f_mat)[fi_g], gather(f_rsum)[fi_g],
+            )
+
+            # kill the parents of the VALID (capped) events only — events
+            # past f_cap survive untouched and are counted into n_dropped
+            # (collisions_scaled semantics, unlike the dense sharded step)
+            kill_g = jnp.zeros((n,), bool)
+            kill_g = kill_g.at[jnp.where(f_valid, fi_g, n)].set(
+                True, mode="drop"
+            )
+            kill_g = kill_g.at[jnp.where(f_valid, fj_g, n)].set(
+                True, mode="drop"
+            )
+            fkill = sl(kill_g)
+            mass = jnp.where(fkill, 0.0, mass)
+            vel = jnp.where(fkill[:, None], 0.0, vel)
+            temp = jnp.where(fkill, 0.0, temp)
+
+            # ---- global dead-slot census -> rank-scatter placement -------
+            mass_g2 = gather(mass)
+            col = jnp.arange(n, dtype=i32)
+            fk = frag["mask"].shape[0]  # F * K
+            dead_g = mass_g2 <= 0.0
+            drank = jnp.cumsum(dead_g.astype(i32)) - 1
+            slot_of_rank = jnp.full((fk,), n, i32).at[
+                jnp.where(dead_g & (drank < fk), drank, fk)
+            ].set(col, mode="drop")
+            frank = jnp.cumsum(frag["mask"].astype(i32)) - 1
+            slot = jnp.where(
+                frag["mask"], slot_of_rank[jnp.clip(frank, 0, fk - 1)], n
+            )
+            placed = frag["mask"] & (slot < n)
+            lslot = jnp.where(
+                placed & (slot >= me * nl) & (slot < (me + 1) * nl),
+                slot - me * nl, nl,
+            )
+            mass = mass.at[lslot].set(frag["mass"], mode="drop")
+            pos = pos.at[lslot].set(frag["pos"], mode="drop")
+            vel = vel.at[lslot].set(frag["vel"], mode="drop")
+            temp = temp.at[lslot].set(frag["temp"], mode="drop")
+            mat = mat.at[lslot].set(frag["mat"], mode="drop")
+
+            touched = primary_m | killed_m | fkill
+            touched = touched.at[lslot].set(True, mode="drop")
+            partner_new = jnp.where(touched, -1, partner_new)
+            contact_t = jnp.where(touched, 0.0, contact_t)
+            # reborn slots are NEWBORN: acc = 0 (index.html:217)
+            acc_new = jnp.where(touched[:, None], 0.0, acc_new)
+
+            # ---- second half-kick + thermal decay ------------------------
+            vel = vel + acc_new * (0.5 * h)
+            temp = thermal.decay(temp, cfg.heat_decay)
+
+            # ---- counters (ScaledEvents parity) --------------------------
+            n_merges = jax.lax.psum(jnp.sum(primary_m.astype(i32)), "b")
+            n_fracts = jax.lax.psum(jnp.sum(primary_f.astype(i32)), "b")
+            pm_g = gather(primary_m)
+            _, m_valid = take_rows(pm_g, cfg.max_merges)
+            n_dropped = (
+                (n_fracts - jnp.sum(f_valid.astype(i32)))
+                + (n_merges - jnp.sum(m_valid.astype(i32)))
+                + (jnp.sum(frag["mask"].astype(i32))
+                   - jnp.sum(placed.astype(i32)))
+            )
+            return (pos, vel, acc_new, mass, mat, temp, partner_new,
+                    contact_t, n_merges, n_fracts, n_bounces, n_overflow,
+                    n_dropped, too_small)
+
+        out = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P("b", None), P("b", None), P("b", None), P("b"), P("b"),
+                P("b"), P("b"), P("b"),
+            ),
+            out_specs=(
+                P("b", None), P("b", None), P("b", None), P("b"), P("b"),
+                P("b"), P("b"), P("b"),
+                P(), P(), P(), P(), P(), P(),
+            ),
+            # pallas_call's out_shape carries no vma annotation (see
+            # make_sharded_binned_collision_pass)
+            check_vma=False,
+        )(state.pos, state.vel, state.acc, state.mass, state.mat,
+          state.temp, state.partner, state.contact_t)
+        new_state = ShardedBodyState(*out[:8])
+        return new_state, {
+            "n_merges": out[8], "n_fractures": out[9], "n_bounces": out[10],
+            "n_overflow": out[11], "n_dropped": out[12],
+            "cell_too_small": out[13],
+        }
+
+    return step

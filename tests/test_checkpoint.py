@@ -71,7 +71,7 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
 
 
-def test_sharded_orbax_roundtrip(tmp_path):
+def test_sharded_orbax_roundtrip(tmp_path, eight_devices):
     """A mesh-sharded full-physics state checkpoints shard-by-shard and
     restores bit-exactly into a fresh mesh layout, shardings preserved."""
     pytest.importorskip("orbax.checkpoint")

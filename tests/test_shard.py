@@ -315,8 +315,200 @@ def test_sharded_binned_collision_matches_single(mesh):
                                rtol=1e-6, atol=1e-7)
 
 
-def test_sharded_binned_rejects_bad_mesh_split():
+def test_sharded_binned_rejects_bad_mesh_split(eight_devices):
     """Column count must divide over the device count."""
     m = shard.make_mesh(8)
     with pytest.raises(ValueError, match="columns"):
         shard.make_sharded_binned_collision_pass(m, 100.0, 3, 2, (64, 96))
+
+
+# ---------------------------------------------------------------------------
+# Sharded granular (binned full-physics) step
+# ---------------------------------------------------------------------------
+
+def _granular_cloud_cfg(n=512, seed=9):
+    """A contact-rich cloud + a config whose thresholds make bounces,
+    merges AND fractures all fire within a few substeps."""
+    import dataclasses
+
+    from nbx.config import Materials, SimConfig, default_materials
+
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(20.0, 60.0, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 2.0, (n, 3)).astype(np.float32)
+    mass = rng.uniform(2.0, 8.0, n).astype(np.float32)
+    mass[-64:] = 0.0  # dead slots for fragments
+    dm = default_materials()
+    mats = Materials(  # low density -> fat radii -> plenty of contacts
+        density=dm.density * 0.1, color1=dm.color1, color2=dm.color2
+    )
+    cfg = SimConfig(
+        merge_time=0.005,  # first sustained contact merges
+        fracture_threshold=0.5,
+        min_fragment_mass=0.2,
+        materials=mats,
+    )
+    return pos, vel, mass, cfg
+
+
+def _single_chip_granular_loop(pos, vel, mass, cfg, h, n_steps, box, g,
+                               band, caps, key0):
+    """The exact single-chip sequence make_sharded_granular_step mirrors
+    (granular_full_kdk_scan's body with zero gravity, acc0 = 0)."""
+    from nbx import thermal
+    from nbx.collisions_scaled import make_granular_state, resolve_collisions_scaled
+
+    st = make_granular_state(pos, vel, mass, key=key0)
+    acc = jnp.zeros_like(st.pos)
+    evs = []
+    for _ in range(n_steps):
+        v = st.vel + acc * (0.5 * h)
+        p = st.pos + v * h
+        st = st._replace(pos=p, vel=v)
+        st, ev = resolve_collisions_scaled(
+            st, cfg, h, box, g, band_cells=band, packed_caps=caps,
+            interpret=True,
+        )
+        acc = jnp.where(ev.touched[:, None], 0.0, jnp.zeros_like(st.pos))
+        st = st._replace(
+            vel=st.vel + acc * (0.5 * h),
+            temp=thermal.decay(st.temp, cfg.heat_decay),
+        )
+        evs.append(ev)
+    return st, evs
+
+
+def test_sharded_granular_step_matches_single(mesh):
+    """The at-scale sharded full-physics step (packed Pallas sweep per
+    column slab + collisions_scaled event machinery) reproduces the
+    single-chip sequence over several substeps, including merges,
+    fractures, fragment placement, timers and all counters.
+
+    Tolerance note: counters/partners/timers/materials match EXACTLY;
+    pos/vel/temp to f32 ulp tolerance — in interpret mode the Pallas
+    kernel is traced into the surrounding XLA graph, so FMA/fusion
+    choices (e.g. a2*dx - ft*rvx) can differ between the single-chip and
+    sharded programs. The compiled Mosaic kernel is one binary in both
+    paths (bit-identical blocks in, bit-identical rows out)."""
+    box, g, band, caps = 100.0, 4, 2, (256, 384)
+    h = 0.016
+    n_steps = 4
+    pos, vel, mass, cfg = _granular_cloud_cfg()
+
+    key0 = jax.random.PRNGKey(7)
+    st1, evs = _single_chip_granular_loop(
+        pos, vel, mass, cfg, h, n_steps, box, g, band, caps, key0
+    )
+
+    step = shard.make_sharded_granular_step(
+        mesh, cfg, box, g, band, caps, force_impl="zero", interpret=True
+    )
+    st = shard.shard_body_state(mesh, pos, vel, mass)
+    key = key0
+    counters = []
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        st, c = step(st, h, sub)
+        counters.append(c)
+
+    # the scene must actually exercise every event type
+    tot = {k: sum(int(c[k]) for c in counters)
+           for k in ("n_merges", "n_fractures", "n_bounces")}
+    assert tot["n_bounces"] > 0
+    assert tot["n_merges"] > 0
+    assert tot["n_fractures"] > 0
+    assert sum(int(c["n_overflow"]) for c in counters) == 0
+
+    for k in ("n_merges", "n_fractures", "n_bounces", "n_dropped"):
+        ref_key = k
+        got = [int(c[k]) for c in counters]
+        want = [int(getattr(ev, ref_key)) for ev in evs]
+        assert got == want, (k, got, want)
+
+    np.testing.assert_allclose(
+        np.asarray(st.mass), np.asarray(st1.mass), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.pos), np.asarray(st1.pos), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.vel), np.asarray(st1.vel), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.temp), np.asarray(st1.temp), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(st.mat), np.asarray(st1.mat))
+    np.testing.assert_array_equal(
+        np.asarray(st.partner), np.asarray(st1.partner)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.contact_t), np.asarray(st1.contact_t)
+    )
+
+
+def test_sharded_granular_gravity_close_to_single(mesh):
+    """With direct gravity on, the sharded step tracks the single-chip
+    sequence to f32 reduction-order tolerance (the rectangular all-on-local
+    sum orders differ from the dense single-chip path)."""
+    from nbx import thermal
+    from nbx.collisions_scaled import make_granular_state, resolve_collisions_scaled
+    from nbx.sim import gravity
+
+    box, g, band, caps = 100.0, 4, 2, (256, 384)
+    h = 0.008
+    n_steps = 3
+    pos, vel, mass, cfg = _granular_cloud_cfg(seed=11)
+
+    key0 = jax.random.PRNGKey(3)
+    st1 = make_granular_state(pos, vel, mass, key=key0)
+    acc = gravity(st1.pos, st1.mass, cfg.G, cfg.softening, "dense")
+    for _ in range(n_steps):
+        v = st1.vel + acc * (0.5 * h)
+        p = st1.pos + v * h
+        a2 = gravity(p, st1.mass, cfg.G, cfg.softening, "dense")
+        st1 = st1._replace(pos=p, vel=v)
+        st1, ev = resolve_collisions_scaled(
+            st1, cfg, h, box, g, band_cells=band, packed_caps=caps,
+            interpret=True,
+        )
+        a2 = jnp.where(ev.touched[:, None], 0.0, a2)
+        st1 = st1._replace(
+            vel=st1.vel + a2 * (0.5 * h),
+            temp=thermal.decay(st1.temp, cfg.heat_decay),
+        )
+        acc = a2
+
+    step = shard.make_sharded_granular_step(
+        mesh, cfg, box, g, band, caps, force_impl="jnp", interpret=True
+    )
+    st = shard.shard_body_state(mesh, pos, vel, mass)
+    # prime acc to the initial force, as the single-chip loop does
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    acc0 = gravity(jnp.asarray(pos), jnp.asarray(mass), cfg.G,
+                   cfg.softening, "dense")
+    st = st._replace(
+        acc=jax.device_put(acc0, NamedSharding(mesh, P("b", None)))
+    )
+    key = key0
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        st, c = step(st, h, sub)
+
+    np.testing.assert_allclose(
+        np.asarray(st.pos), np.asarray(st1.pos), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.vel), np.asarray(st1.vel), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.mass > 0), np.asarray(st1.mass > 0)
+    )
+
+
+def test_sharded_granular_rejects_bad_mesh_split(eight_devices):
+    from nbx.config import SimConfig
+
+    m = shard.make_mesh(8)
+    with pytest.raises(ValueError, match="columns"):
+        shard.make_sharded_granular_step(m, SimConfig(), 100.0, 3, 2, (64, 96))

@@ -31,11 +31,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SUN_POSITION = jnp.array([50.0, 50.0, 50.0])  # L493, L738
+SUN_POSITION = np.array([50.0, 50.0, 50.0], np.float32)  # L493, L738
 AMBIENT = 0.05  # L197
 SPIN_RATE = 0.2  # rad/s about +y (L549)
-HEAT_COLOR = jnp.array([1.0, 0.3, 0.1])  # L190
+HEAT_COLOR = np.array([1.0, 0.3, 0.1], np.float32)  # L190
 
 
 def _hash3(ix, iy, iz, seed):
@@ -103,6 +104,7 @@ def draw_impostors(
     width: int = 640,
     height: int = 360,
     n_impostors: int = 8,
+    light_gain: jax.Array | None = None,  # [C] flash illumination
 ) -> jax.Array:
     """Shade the n_impostors largest on-screen bodies as lit spheres.
 
@@ -224,6 +226,14 @@ def draw_impostors(
         + HEAT_COLOR * (t_norm * crack)[..., None] * 2.0  # L190-191
         + HEAT_COLOR * glow_body[..., None] * 0.6  # L194
     )
+    if light_gain is not None:
+        # incident flash light (triggerFlash's PointLight illuminating
+        # nearby surfaces, L619-626): warm albedo-reflected add
+        from nbx.render.lights import COLOR as _FLASH_COLOR
+
+        rgb = rgb + base * light_gain[body][..., None] * jnp.asarray(
+            _FLASH_COLOR, jnp.float32
+        )
 
     depth = jnp.where(
         covered, take(zbuf) - 0.5 * b_rad, jnp.inf

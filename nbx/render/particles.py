@@ -20,9 +20,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 POOL_SIZE = 5000  # reference cap (index.html:475)
-PARTICLE_COLOR = jnp.array([1.0, 0.666, 0.266], jnp.float32)  # 0xffaa44 L474
+PARTICLE_COLOR = np.array([1.0, 0.666, 0.266], np.float32)  # 0xffaa44 L474
 EXPLOSION_COUNT = 15  # L639
 SMOKE_BASE_CHANCE = 0.1  # L556
 SMOKE_TEMP_SLOPE = 0.002

@@ -20,10 +20,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from nbx.render import lights as lights_mod
 from nbx.render import particles as particles_mod
 from nbx.render import trails as trails_mod
+from nbx.render.bloom import bloom
 from nbx.render.colormap import tonemap
-from nbx.render.splat import Camera, add_flashes, splat_bodies_hdr
+from nbx.render.impostor import draw_impostors
+from nbx.render.splat import Camera, splat_bodies_hdr
 
 
 @jax.tree_util.register_dataclass
@@ -31,6 +34,7 @@ from nbx.render.splat import Camera, add_flashes, splat_bodies_hdr
 class FrameState:
     trails: trails_mod.TrailState
     particles: particles_mod.ParticleState
+    lights: lights_mod.LightState
 
     @staticmethod
     def create(capacity: int, trail_length: int = 80,
@@ -38,6 +42,7 @@ class FrameState:
         return FrameState(
             trails=trails_mod.TrailState.create(capacity, trail_length),
             particles=particles_mod.ParticleState.create(pool, key),
+            lights=lights_mod.LightState.create(),
         )
 
 
@@ -122,6 +127,18 @@ def render_and_advance(
     spawn_mask = flat(events.spawn_mask)
     parts = particles_mod.spawn_explosions(parts, spawn_pos, spawn_mask)
 
+    # advance the persistent flash lights (decay x0.85/frame, cull < 0.1,
+    # reference triggerFlash index.html:619-635) and insert this frame's
+    # merge/fracture events; the pool both glows and lights the bodies
+    flash_pos = jnp.concatenate([flat(events.merge_pos), flat(events.fracture_pos)])
+    # merge flash energy = 0.5 * merged mass (L408); fracture = impact E (L358)
+    flash_e = jnp.concatenate(
+        [0.5 * flat(events.merge_mass), flat(events.fracture_energy)]
+    )
+    flash_mask = jnp.concatenate([flat(events.merge_mask), flat(events.fracture_mask)])
+    lights = lights_mod.advance(frame.lights, flash_pos, flash_e, flash_mask)
+    light_gain = lights_mod.body_light_gain(lights, state.pos)
+
     # Impostors draw FIRST and hand their z-buffer to every additive pass:
     # splats/stars/trails/particles behind an opaque planet disc are hidden,
     # sources in front still glow over it (the raster z-buffer the reference
@@ -129,19 +146,18 @@ def render_and_advance(
     depth = None
     imp = None
     if n_impostors > 0:
-        from nbx.render.impostor import draw_impostors
-
         # frame counter x dt = shader time (drives the spin, L549)
         imp, depth = draw_impostors(
             jnp.zeros((height, width, 3), jnp.float32),
             state.pos, radius, state.temp, state.mat, state.alive,
             c1, c2, cam, frame.trails.head.astype(jnp.float32) * cfg.dt,
             width=width, height=height, n_impostors=n_impostors,
+            light_gain=light_gain,
         )
 
     hdr = splat_bodies_hdr(
         state.pos, radius, state.temp, state.mat, state.alive, c1, c2, cam,
-        width=width, height=height, depth=depth,
+        width=width, height=height, depth=depth, light_gain=light_gain,
     )
     if imp is not None:
         hdr = hdr + imp  # imp is zero outside covered pixels
@@ -155,17 +171,15 @@ def render_and_advance(
     hdr = particles_mod.splat_particles(hdr, parts, cam, width=width,
                                         height=height, depth=depth)
 
-    flash_pos = jnp.concatenate([flat(events.merge_pos), flat(events.fracture_pos)])
-    # merge flash energy = 0.5 * merged mass (L408); fracture = impact E (L358)
-    flash_e = jnp.concatenate(
-        [0.5 * flat(events.merge_mass), flat(events.fracture_energy)]
-    )
-    flash_mask = jnp.concatenate([flat(events.merge_mask), flat(events.fracture_mask)])
-    hdr = add_flashes(hdr, flash_pos, flash_e, flash_mask, cam,
-                      width=width, height=height)
+    # Visual approximation: additive passes depth-test only the splat CENTER
+    # pixel against the impostor z-buffer, and flash glows skip the test —
+    # wide footprints can bleed across an occluding planet's disc edge.
+    hdr = lights_mod.splat_light_glow(hdr, lights, cam, width=width,
+                                      height=height)
     if use_bloom:
-        from nbx.render.bloom import bloom
-
         hdr = bloom(hdr, bloom_strength, bloom_threshold)
 
-    return FrameState(trails=trails, particles=parts), tonemap(hdr, exposure)
+    return (
+        FrameState(trails=trails, particles=parts, lights=lights),
+        tonemap(hdr, exposure),
+    )

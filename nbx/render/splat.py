@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nbx.ops.p3m import take_rows
 from nbx.render.colormap import body_color, tonemap
@@ -120,14 +121,15 @@ def screen_to_plane(
 @partial(jax.jit, static_argnames=("width", "height"))
 def splat_bodies_hdr(
     pos, radius, temp, mat, alive, color1, color2, cam,
-    width: int = 640, height: int = 360, depth=None,
+    width: int = 640, height: int = 360, depth=None, light_gain=None,
 ) -> jax.Array:
     """Body splats into a fresh HDR buffer (no tonemap) — the composition
     primitive for the full frame pipeline. `depth` [H, W] (from
-    draw_impostors) hides splats behind opaque impostor surfaces."""
+    draw_impostors) hides splats behind opaque impostor surfaces.
+    `light_gain` [N] adds flash-light illumination (nbx.render.lights)."""
     return _splat_bodies(
         pos, radius, temp, mat, alive, color1, color2, cam, width, height,
-        depth,
+        depth, light_gain,
     )
 
 
@@ -157,11 +159,11 @@ def splat_frame(
     return tonemap(img, exposure)
 
 
-SUN_POS = jnp.array([50.0, 50.0, 50.0])  # DirectionalLight site (L737-741)
+SUN_POS = np.array([50.0, 50.0, 50.0], np.float32)  # DirectionalLight site (L737-741)
 
 
 def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
-                  width, height, depth=None) -> jax.Array:
+                  width, height, depth=None, light_gain=None) -> jax.Array:
     px, py, z = project(cam, pos, width, height)
     visible = (
         alive
@@ -187,7 +189,15 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     )
     lit = 0.05 + 0.95 * 0.5 * (1.0 + cosang)
     emissive = jnp.clip(temp / 50.0, 0.0, 1.0)
+    albedo = col
     col = col * jnp.maximum(lit, emissive)[:, None]
+    if light_gain is not None:
+        # incident flash light (nbx.render.lights): warm reflected add
+        from nbx.render.lights import COLOR as _FLASH_COLOR
+
+        col = col + albedo * light_gain[:, None] * jnp.asarray(
+            _FLASH_COLOR, jnp.float32
+        )
     f = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
     app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
 

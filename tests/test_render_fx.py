@@ -164,3 +164,84 @@ def test_checkpointed_run(tmp_path):
     s.run_checkpointed(25, p, every=10)
     s2 = Simulation.load(p)
     np.testing.assert_array_equal(s2.bodies()["pos"], s.bodies()["pos"])
+
+
+def test_flash_light_pool_decay_and_cull():
+    """triggerFlash semantics: intensity min(0.2E, 15), x0.85/frame decay,
+    culled below 0.1, slots reused (index.html:619-635)."""
+    from nbx.render import lights as lmod
+
+    li = lmod.LightState.create(pool=4)
+    fpos = jnp.asarray([[1.0, 2.0, 3.0]])
+    li = lmod.advance(li, fpos, jnp.asarray([100.0]), jnp.asarray([True]))
+    assert float(li.intensity.max()) == 15.0  # min(0.2*100, 15) clamp
+    i_prev = 15.0
+    frames = 0
+    no_ev = (jnp.zeros((1, 3)), jnp.zeros((1,)), jnp.asarray([False]))
+    while float(li.intensity.max()) > 0:
+        li = lmod.advance(li, *no_ev)
+        i_now = float(li.intensity.max())
+        if i_now > 0:
+            np.testing.assert_allclose(i_now, i_prev * 0.85, rtol=1e-6)
+        i_prev = i_now
+        frames += 1
+        assert frames < 100
+    assert frames > 10  # persists well past 10 frames before culling
+    # pool slot is dead and reusable
+    li = lmod.advance(li, fpos, jnp.asarray([10.0]), jnp.asarray([True]))
+    assert float(li.intensity.max()) == 2.0
+
+
+def test_flash_light_gain_reaches_nearby_bodies():
+    from nbx.render import lights as lmod
+
+    li = lmod.LightState.create(pool=4)
+    li = lmod.advance(li, jnp.zeros((1, 3)), jnp.asarray([75.0]),
+                      jnp.asarray([True]))
+    pos = jnp.asarray([[5.0, 0.0, 0.0], [100.0, 0.0, 0.0]])
+    gain = np.asarray(lmod.body_light_gain(li, pos))
+    assert gain[0] > 0  # inside range 60
+    assert gain[1] == 0  # beyond range
+
+
+def test_merge_flash_decays_over_frames():
+    """A merge's flash glows for >= 10 frames, monotonically fading
+    (reference PointLight fade, index.html:629-634) — round-2 drew it for
+    exactly one frame."""
+    from nbx.collisions import empty_events
+
+    cfg = SimConfig(capacity=32)
+    st = scene.make_state(cfg, scene.head_on_collision(), key=0)
+    fr = FrameState.create(cfg.capacity, cfg.trail_length)
+    cam = Camera.default()
+
+    import dataclasses
+
+    ev = empty_events(cfg)
+    ev = dataclasses.replace(
+        ev,
+        merge_pos=ev.merge_pos.at[0].set(jnp.asarray([0.0, 0.0, 0.0])),
+        merge_mass=ev.merge_mass.at[0].set(60.0),  # E = 30 -> I = 6
+        merge_mask=ev.merge_mask.at[0].set(True),
+    )
+    # frame 0: flash fires
+    fr, img0 = render_and_advance(fr, st, cfg, ev, cam, width=160, height=90,
+                                  use_bloom=False, n_impostors=0)
+    assert float(fr.lights.intensity.max()) == 6.0
+
+    quiet = empty_events(cfg)
+    prev = float(fr.lights.intensity.max())
+    series = []
+    for _ in range(12):
+        fr, img = render_and_advance(fr, st, cfg, quiet, cam, width=160,
+                                     height=90, use_bloom=False,
+                                     n_impostors=0)
+        cur = float(fr.lights.intensity.max())
+        series.append(cur)
+        assert cur < prev
+        prev = cur
+    assert series[-1] > 0  # still alive after 12 frames
+    # the glow is visible on screen and fades with the pool
+    mid = np.asarray(img0)[38:52, 72:88].sum()
+    mid_late = np.asarray(img)[38:52, 72:88].sum()
+    assert mid > mid_late > 0

@@ -104,7 +104,44 @@ def test_tonemap_range():
     x = jnp.array([[[0.0, 1.0, 100.0]]])
     y = np.asarray(tonemap(x))
     assert 0 <= y.min() and y.max() <= 1
-    assert y[0, 0, 2] > y[0, 0, 1] > y[0, 0, 0]
+    # moderate exposure keeps channel ordering despite ACES crosstalk
+    y2 = np.asarray(tonemap(jnp.array([[[0.0, 0.5, 2.0]]])))
+    assert y2[0, 0, 2] > y2[0, 0, 1] > y2[0, 0, 0]
+
+
+def test_tonemap_aces_matches_threejs_curve():
+    """The default tonemap is three.js's ACESFilmicToneMapping (Stephen
+    Hill RRT+ODT fit, exposure/0.6 prescale, reference index.html:712-713)
+    — checked on GRAY inputs where the matrix crosstalk collapses (rows of
+    both matrices sum to ~1) so the scalar fit is the whole curve."""
+    for v in (0.18, 0.5, 1.0, 4.0):
+        g = v / 0.6
+        # gray vector through the input matrix stays (row-sum * g) ~ g
+        rs_in = np.array([0.59719 + 0.35458 + 0.04823,
+                          0.07600 + 0.90834 + 0.01566,
+                          0.02840 + 0.13383 + 0.83777])
+        c = rs_in * g
+        fit = (c * (c + 0.0245786) - 0.000090537) / (
+            c * (0.983729 * c + 0.4329510) + 0.238081)
+        out = np.array([
+            1.60475 * fit[0] - 0.53108 * fit[1] - 0.07367 * fit[2],
+            -0.10208 * fit[0] + 1.10813 * fit[1] - 0.00605 * fit[2],
+            -0.00327 * fit[0] - 0.07276 * fit[1] + 1.07602 * fit[2],
+        ])
+        want = np.clip(out, 0.0, 1.0) ** (1 / 2.2)
+        got = np.asarray(tonemap(jnp.full((1, 1, 3), v)))[0, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # monotone on a gray ramp, saturates toward 1
+    ramp = np.asarray(tonemap(jnp.linspace(0, 20, 64)[:, None, None]
+                              * jnp.ones((1, 1, 3))))
+    lum = ramp.sum(-1)[:, 0]
+    assert (np.diff(lum) >= -1e-6).all()
+    assert lum[-1] > 2.7  # ~3 channels near 1
+    # legacy mode still available
+    y = np.asarray(tonemap(jnp.array([[[0.5, 0.5, 0.5]]]), mode="reinhard"))
+    np.testing.assert_allclose(
+        y, ((1 - np.exp(-0.5)) ** (1 / 2.2)) * np.ones((1, 1, 3)), rtol=1e-5
+    )
 
 
 def test_png_writer_valid(tmp_path):

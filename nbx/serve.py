@@ -9,10 +9,17 @@ verbs the reference binds:
 
     drag (add mode)   -> /spawn?sx0=..&sy0=..&sx1=..&sy1=..   (slingshot)
     drag (view mode)  -> /orbit?dyaw=..&dpitch=..             (OrbitControls)
-    wheel             -> /orbit?zoom=..
+    wheel/middle-drag -> /orbit?zoom=..                       (dolly, L716-722)
     GUI sliders       -> /set?G=..&fracture_threshold=..      (lil-gui)
     scenario buttons  -> /reset?scenario=galaxy|collision
+    window resize     -> /resize?w=..&h=..  (re-creates the frame pipeline
+                         at the new size, reference resize L885-891)
     HUD               -> /state  (bodies alive, energy, step count)
+
+The client consumes /stream — a multipart/x-mixed-replace PNG push stream
+driven by a frame Condition (every rendered frame ships the moment it is
+encoded; no poll quantization) — and falls back to 10 Hz /frame.png polling
+if the stream dies.
 
 Usage:
     python -m nbx.serve [port]           # serves the reference galaxy
@@ -62,6 +69,8 @@ class LiveSim:
         self.bloom_threshold = 0.3
         self.exposure = 1.5
         self.frame_png: bytes = b""
+        self.frame_seq = 0  # bumps per encoded frame; /stream waits on it
+        self.frame_cond = threading.Condition()
         self.step_count = 0
         self.paused = False
         self.error = None
@@ -95,6 +104,9 @@ class LiveSim:
                         self.frame_png = png_bytes(np.asarray(img), level=1)
                         self.step_count += 1
                         self.error = None
+                        with self.frame_cond:
+                            self.frame_seq += 1
+                            self.frame_cond.notify_all()
             except Exception as e:  # keep serving; surface in /state
                 self.error = f"{type(e).__name__}: {e}"
                 time.sleep(0.5)
@@ -130,12 +142,25 @@ class LiveSim:
                 self.sim.cfg.capacity, self.sim.cfg.trail_length
             )
 
+    def resize(self, w: int, h: int):
+        """Re-create the frame pipeline at a new size (the reference's
+        window-resize handler, index.html:885-891). The render state
+        (trails/particles/lights) is world-space — only the jitted frame
+        functions recompile, once per new size. Bounded to keep a
+        fullscreen 4K browser from requesting a 33 ms frame."""
+        w = max(64, min(int(w), 1920))
+        h = max(36, min(int(h), 1080))
+        with self.lock:
+            self.width, self.height = w, h
+
     def stats(self) -> dict:
         with self.lock:
             d = self.sim.measure()
             cfg = self.sim.cfg
             return {
                 "step": self.step_count,
+                "width": self.width,
+                "height": self.height,
                 "alive": int(d.n_alive),
                 "energy": float(d.kinetic + d.potential),
                 "max_temp": float(d.max_temp),
@@ -175,13 +200,31 @@ font-size:12px;border-bottom:1px solid #333}
 .btn{display:inline-block;margin:2px 3px 2px 0;padding:3px 10px;background:#2a2a38;
 color:#cdd;border:1px solid #444;border-radius:4px;cursor:pointer}
 .btn.on{background:#4a7dff;color:#fff;border-color:#4a7dff}
+#instructions{position:fixed;left:8px;bottom:8px;max-width:380px;
+background:rgba(18,18,24,.85);border:1px solid #333;border-radius:6px;
+padding:8px 12px;font-size:12px;line-height:1.6;color:#9ab}
+#instructions b{color:#dde}
+#modepill{position:fixed;left:50%;top:10px;transform:translateX(-50%);
+padding:3px 14px;border-radius:12px;background:rgba(74,125,255,.25);
+border:1px solid #4a7dff;color:#cdf;font-size:12px;pointer-events:none}
 </style></head><body>
 <img id="v"><canvas id="ov"></canvas><div id="hud"></div>
+<div id="modepill">VIEW MODE</div>
+<div id="instructions"><b>nbx — realistic n-body fusion</b><br>
+Left-drag: orbit &nbsp; Right/Shift-drag: pan &nbsp; Wheel / middle-drag:
+dolly<br><b>A</b>: toggle add mode &mdash; in add mode, drag and release to
+slingshot-spawn a body (drag back = velocity)<br>
+Sliders retune physics live; scenario buttons reset. Click this panel to
+hide.</div>
 <div id="gui"></div>
 <script>
 let mode='view', drag=null, cur=null;
+let W=__W__, H=__H__;
 const v=document.getElementById('v'), hud=document.getElementById('hud'),
-      ov=document.getElementById('ov'), gui=document.getElementById('gui');
+      ov=document.getElementById('ov'), gui=document.getElementById('gui'),
+      pill=document.getElementById('modepill'),
+      instr=document.getElementById('instructions');
+instr.onclick=()=>instr.style.display='none';
 // ---- control panel (the lil-gui folders, index.html:847-871) ----
 const SLIDERS={
  Physics:[['G','G',0.1,5,0.01],['dt','dt',0.001,0.05,0.001],
@@ -216,54 +259,73 @@ folder('Scenarios',d=>{
   button(d,'Collision',()=>fetch('/reset?scenario=collision'));});
 function setMode(m){mode=m;
   document.getElementById('bView').classList.toggle('on',m==='view');
-  document.getElementById('bAdd').classList.toggle('on',m==='add');}
+  document.getElementById('bAdd').classList.toggle('on',m==='add');
+  pill.textContent=m==='add'?'ADD MODE — drag to spawn':'VIEW MODE';}
 setMode('view');
 addEventListener('keydown',e=>{if(e.key==='a'||e.key==='A')
   setMode(mode==='view'?'add':'view');});
-// ---- frame poll + HUD + one-time slider sync ----
-function poll(){v.src='/frame.png?t='+Date.now();}
-setInterval(poll,100); poll();
+// ---- frame stream (multipart push; poll fallback) + HUD + slider sync ----
+let polling=null;
+function startPoll(){if(polling)return;
+ polling=setInterval(()=>{v.src='/frame.png?t='+Date.now();},100);}
+v.onerror=()=>startPoll();
+v.src='/stream';
+// safety: if the stream shows nothing within 3s, fall back to polling
+setTimeout(()=>{if(!v.naturalWidth)startPoll();},3000);
 let synced=false;
 setInterval(async()=>{const s=await(await fetch('/state')).json();
  hud.textContent=`step ${s.step}  bodies ${s.alive}  E ${s.energy.toFixed(1)}  G ${s.G}`
    +(s.error?`  ERR ${s.error}`:'');
+ if(s.width){W=s.width;H=s.height;}
  if(!synced&&s.params){for(const k in s.params)if(inputs[k])inputs[k](s.params[k]);
    synced=true;}},500);
+// ---- live resize (reference window-resize handler, L885-891) ----
+let rszT=null;
+function sendResize(){
+ const r=Math.min(devicePixelRatio||1,1.5);
+ fetch(`/resize?w=${Math.round(innerWidth*r)}&h=${Math.round(innerHeight*r)}`);}
+addEventListener('resize',()=>{clearTimeout(rszT);rszT=setTimeout(sendResize,400);});
+sendResize();
 // ---- input: orbit drag / add-mode slingshot with preview line ----
 function toFrame(e){const r=v.getBoundingClientRect();
- return [(e.clientX-r.left)/r.width*__W__,(e.clientY-r.top)/r.height*__H__];}
+ return [(e.clientX-r.left)/r.width*W,(e.clientY-r.top)/r.height*H];}
 function drawPreview(){
  ov.width=innerWidth; ov.height=innerHeight;
  const c=ov.getContext('2d'); c.clearRect(0,0,ov.width,ov.height);
  if(!drag||!cur||mode!=='add')return;
  const r=v.getBoundingClientRect();
- const sx=x=>r.left+x/__W__*r.width, sy=y=>r.top+y/__H__*r.height;
+ const sx=x=>r.left+x/W*r.width, sy=y=>r.top+y/H*r.height;
  c.strokeStyle='#00ff00'; c.lineWidth=2;           /* green preview line */
  c.beginPath(); c.moveTo(sx(drag[0]),sy(drag[1]));
  c.lineTo(sx(cur[0]),sy(cur[1])); c.stroke();
  c.fillStyle='#00ff00';
  c.beginPath(); c.arc(sx(drag[0]),sy(drag[1]),3,0,7); c.fill();}
-let panning=false;
+let panning=false,dollying=false;
 v.addEventListener('contextmenu',e=>e.preventDefault());
 v.addEventListener('mousedown',e=>{drag=toFrame(e);cur=drag;
- panning=(e.button===2||e.shiftKey);e.preventDefault();});
+ panning=(e.button===2||e.shiftKey);dollying=(e.button===1);
+ e.preventDefault();});
 addEventListener('mouseup',async e=>{if(!drag)return;const p=toFrame(e);
- if(mode==='add'&&!panning){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
- drag=null;cur=null;panning=false;drawPreview();});
-// damped orbit/pan (the OrbitControls enableDamping feel, L717-718):
-// drags feed a velocity that a rAF loop applies and decays
-let vyaw=0,vpitch=0,vpx=0,vpy=0;
+ if(mode==='add'&&!panning&&!dollying){await fetch(`/spawn?sx0=${drag[0]}&sy0=${drag[1]}&sx1=${p[0]}&sy1=${p[1]}`);}
+ drag=null;cur=null;panning=false;dollying=false;drawPreview();});
+// damped orbit/pan/dolly (the OrbitControls enableDamping feel, L717-722:
+// left=rotate, MIDDLE=dolly, right=pan): drags feed a velocity that a rAF
+// loop applies and decays
+let vyaw=0,vpitch=0,vpx=0,vpy=0,vzoom=0;
 addEventListener('mousemove',e=>{if(!drag)return;const p=toFrame(e);
- if(mode==='add'&&!panning){cur=p;drawPreview();return;}
- if(panning){vpx+=-(p[0]-drag[0])*3e-4;vpy+=(p[1]-drag[1])*3e-4;}
+ if(mode==='add'&&!panning&&!dollying){cur=p;drawPreview();return;}
+ if(dollying){vzoom+=(p[1]-drag[1])*3e-3;}
+ else if(panning){vpx+=-(p[0]-drag[0])*3e-4;vpy+=(p[1]-drag[1])*3e-4;}
  else{vyaw+=(p[0]-drag[0])*2e-3;vpitch+=(p[1]-drag[1])*2e-3;}
  drag=p;});
 let orbitBusy=false;
 async function damp(){
- if(!orbitBusy&&(Math.abs(vyaw)+Math.abs(vpitch)+Math.abs(vpx)+Math.abs(vpy)>1e-4)){
+ if(!orbitBusy&&(Math.abs(vyaw)+Math.abs(vpitch)+Math.abs(vpx)+Math.abs(vpy)
+    +Math.abs(vzoom)>1e-4)){
   orbitBusy=true;
-  const q=`/orbit?dyaw=${vyaw}&dpitch=${vpitch}&panx=${vpx}&pany=${vpy}`;
-  vyaw*=0.82;vpitch*=0.82;vpx*=0.82;vpy*=0.82;   /* damping factor */
+  const q=`/orbit?dyaw=${vyaw}&dpitch=${vpitch}&panx=${vpx}&pany=${vpy}`
+    +`&zoom=${Math.exp(vzoom)}`;
+  vyaw*=0.82;vpitch*=0.82;vpx*=0.82;vpy*=0.82;vzoom*=0.82; /* damping */
   try{await fetch(q);}finally{orbitBusy=false;}}
  requestAnimationFrame(damp);}
 requestAnimationFrame(damp);
@@ -283,6 +345,37 @@ def make_handler(live: LiveSim):
             self.end_headers()
             self.wfile.write(body)
 
+        def _stream(self):
+            """multipart/x-mixed-replace PNG push stream: every encoded
+            frame ships the moment LiveSim signals frame_cond — perceived
+            rate == render rate (the 10 Hz poll quantization of round 2 is
+            gone). One thread per streaming client (ThreadingHTTPServer)."""
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "multipart/x-mixed-replace; boundary=nbxframe",
+            )
+            self.end_headers()
+            seen = -1
+            while True:
+                with live.frame_cond:
+                    live.frame_cond.wait_for(
+                        lambda: live.frame_seq != seen, timeout=2.0
+                    )
+                    seen = live.frame_seq
+                    buf = live.frame_png
+                if not buf:
+                    continue
+                try:
+                    self.wfile.write(
+                        b"--nbxframe\r\nContent-Type: image/png\r\n"
+                        + f"Content-Length: {len(buf)}\r\n\r\n".encode()
+                    )
+                    self.wfile.write(buf)
+                    self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    return  # client went away; thread exits
+
         def do_GET(self):
             try:
                 self._route()
@@ -301,6 +394,13 @@ def make_handler(live: LiveSim):
                 self._send(200, page.encode(), "text/html")
             elif u.path == "/frame.png":
                 self._send(200, live.frame_png or b"", "image/png")
+            elif u.path == "/stream":
+                self._stream()
+            elif u.path == "/resize":
+                live.resize(int(float(q["w"])), int(float(q["h"])))
+                self._send(200, json.dumps(
+                    {"width": live.width, "height": live.height}
+                ).encode())
             elif u.path == "/state":
                 self._send(200, json.dumps(live.stats()).encode())
             elif u.path == "/spawn":

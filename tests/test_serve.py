@@ -141,3 +141,54 @@ def test_orbit_pan_endpoint(server):
     tgt0 = np.asarray(live.cam.target)
     _get(base + "/orbit?panx=0.05&pany=0.02")
     assert np.abs(np.asarray(live.cam.target) - tgt0).max() > 0.5
+
+
+def test_resize_endpoint(server):
+    base, live = server
+    code, body, _ = _get(base + "/resize?w=320&h=180")
+    assert code == 200
+    assert json.loads(body) == {"width": 320, "height": 180}
+    # next rendered frame comes out at the new size
+    for _ in range(600):
+        if live.width == 320:
+            break
+        time.sleep(0.05)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        import io
+        import struct
+        buf = live.frame_png
+        if len(buf) > 24:
+            w, h = struct.unpack(">II", buf[16:24])  # PNG IHDR dims
+            if (w, h) == (320, 180):
+                break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("frame never re-rendered at the new size")
+    # clamped against pathological requests — pause first so the render
+    # loop never compiles a 1920-wide frame on the test host (it holds the
+    # lock through the compile, which times out the next request)
+    live.paused = True
+    with live.lock:
+        pass  # wait out any in-flight frame
+    _get(base + "/resize?w=99999&h=4")
+    assert live.width == 1920 and live.height == 36
+    _get(base + "/resize?w=160&h=90")
+    live.paused = False
+
+
+def test_stream_pushes_frames(server):
+    """The multipart push stream delivers multiple distinct frames with
+    correct part framing (no 10 Hz poll quantization)."""
+    base, live = server
+    req = urllib.request.urlopen(base + "/stream", timeout=15)
+    assert "multipart/x-mixed-replace" in req.headers.get("Content-Type")
+    data = b""
+    deadline = time.time() + 30
+    while data.count(b"--nbxframe") < 3 and time.time() < deadline:
+        data += req.read(4096)
+    req.close()
+    parts = data.split(b"--nbxframe")
+    pngs = [p for p in parts if b"\x89PNG" in p]
+    assert len(pngs) >= 2  # at least two complete pushed frames
+    assert b"Content-Type: image/png" in parts[1]

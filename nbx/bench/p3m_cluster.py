@@ -1,0 +1,99 @@
+"""P3M clustered-scene benchmark: dense vs two-level residual (ROADMAP 8).
+
+The round-2 weak spot: a 1M scene with a 30k dense core overflows the P3M
+cell binning, and the exact dense [M, M] residual-residual block costs
+~7.3 s/eval at M ~ 29k. residual_mode='twolevel' replaces that block with a
+refined submesh (band FFT + fine binned PP). This bench measures both on
+the same scene: seconds/eval + median relative force error (overall, core,
+field) against a direct-sum reference on a body sample via the rectangular
+Pallas kernel.
+
+    env PYTHONPATH=/root/repo:/root/.axon_site python -m nbx.bench.p3m_cluster \
+        [n_total] [n_core] [mode ...]
+    # defaults: 1000000 30000 dense twolevel
+
+Methodology (CLAUDE.md): wall-clock around one jitted eval with the result
+materialized; each dispatch stays well under the ~30 s tunnel limit.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbx.ops.p3m import p3m_acceleration
+
+BOX = 100.0  # isolated convention: bodies live in [0, box/2)^3
+EPS = 0.1
+
+
+def cluster_scene(n_total: int, n_core: int, sigma: float = 1.5,
+                  seed: int = 0):
+    rng = np.random.default_rng(seed)
+    n_field = n_total - n_core
+    field = rng.uniform(2.0, 48.0, (n_field, 3))
+    core = rng.normal(25.0, sigma, (n_core, 3))
+    core = np.clip(core, 2.0, 48.0)
+    pos = np.concatenate([field, core]).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n_total).astype(np.float32)
+    return jnp.asarray(pos), jnp.asarray(mass), n_field
+
+
+def sample_errors(pos, mass, acc, n_field, n_sample: int = 4096, seed=1):
+    """Median relative error vs direct sum on a half-field/half-core
+    sample (rectangular Pallas kernel: sample targets x ALL sources)."""
+    from nbx.ops.pairwise import pairwise_acc
+
+    rng = np.random.default_rng(seed)
+    n = pos.shape[0]
+    half = n_sample // 2
+    idx = np.concatenate([
+        rng.choice(n_field, half, replace=False),
+        n_field + rng.choice(n - n_field, half, replace=False),
+    ])
+    tgt = pos[jnp.asarray(idx)]
+    ref = np.asarray(pairwise_acc(pos, mass, 1.0, EPS, target_pos=tgt))
+    got = np.asarray(acc)[idx]
+    err = np.linalg.norm(got - ref, axis=1) / (
+        np.linalg.norm(ref, axis=1) + 1e-9
+    )
+    return dict(
+        median=float(np.median(err)),
+        core_median=float(np.median(err[half:])),
+        field_median=float(np.median(err[:half])),
+    )
+
+
+def main(argv):
+    n_total = int(argv[0]) if argv else 1_000_000
+    n_core = int(argv[1]) if len(argv) > 1 else 30_000
+    modes = argv[2:] or ["dense", "twolevel"]
+    pos, mass, n_field = cluster_scene(n_total, n_core)
+
+    for mode in modes:
+        kw = dict(
+            g=64, n_cells=25, max_per_cell=96, eps=EPS,
+            max_residual=32768, residual_mode=mode,
+            sub_g=64, sub_cells=16, sub_k=64,
+        )
+        acc, unc = p3m_acceleration(pos, mass, 1.0, BOX, **kw)
+        np.asarray(acc)  # warm + materialize
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc, unc = p3m_acceleration(pos, mass, 1.0, BOX, **kw)
+            np.asarray(acc)
+            best = min(best, time.perf_counter() - t0)
+        errs = sample_errors(pos, mass, acc, n_field)
+        print(json.dumps(dict(
+            n=n_total, n_core=n_core, mode=mode,
+            s_per_eval=round(best, 3), n_uncorrected=int(unc), **errs,
+        )), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -7,6 +7,8 @@ merge/fracture/timers + thermal) per step at scale, for a sweep of
     env PYTHONPATH=/root/repo:/root/.axon_site python -m nbx.bench.granular \
         [N] [scene] [force] [cfg ...]
     # scene: disk (contact-rich annulus) | cloud (uniform, exact binning)
+    #        | cloud@<box> (explicit box) | cloudcd (box ~ N^(1/3):
+    #        constant density vs the 131k baseline)
     # force: zero (isolates the collision kernel) | pallas | pm | ...
     # cfg:   g,K[,B[,Tc,Sc]]  e.g. 32,16,6  (B = band_cells, omit for full
     #        columns); Tc,Sc = band-PACKED per-window caps (target rows,
@@ -63,29 +65,36 @@ def debris_disk(n: int, seed: int = 0):
     vel = np.stack(
         [-v * np.sin(th), np.zeros(n), v * np.cos(th)], axis=1
     ).astype(np.float32)
+    # The demo's central m=2000 body has radius ~7.8 — larger than any
+    # sane cell at this N, so it alone would trip cell_too_small and
+    # poison every binned measurement. It only matters for orbital
+    # gravity, which a 20-step collision bench doesn't resolve: park the
+    # slot dead (mass 0 = exerts nothing, skips collisions).
     pos = np.concatenate([[[50.0, 50.0, 50.0]], pos]).astype(np.float32)
     vel = np.concatenate([[[0.0, 0.0, 0.0]], vel]).astype(np.float32)
-    mass = np.concatenate([[2000.0], mass]).astype(np.float32)
+    mass = np.concatenate([[0.0], mass]).astype(np.float32)
     return pos, vel, mass
 
 
-def granular_cloud(n: int, seed: int = 0):
-    """Uniform cloud in [10, 90)^3 with converging velocity jitter —
-    near-uniform cell occupancy (exact binning at sane K), contacts fire."""
+def granular_cloud(n: int, seed: int = 0, box: float = BOX):
+    """Uniform cloud in [0.1 box, 0.9 box)^3 with converging velocity
+    jitter — near-uniform cell occupancy (exact binning at sane K),
+    contacts fire."""
     rng = np.random.default_rng(seed)
-    pos = rng.uniform(10.0, 90.0, (n, 3)).astype(np.float32)
+    pos = rng.uniform(0.1 * box, 0.9 * box, (n, 3)).astype(np.float32)
     vel = (
-        (50.0 - pos) * 0.02 + rng.normal(0, 0.3, (n, 3))
+        (0.5 * box - pos) * 0.02 + rng.normal(0, 0.3, (n, 3))
     ).astype(np.float32)
     mass = rng.uniform(0.05, 0.4, n).astype(np.float32)
     return pos, vel, mass
 
 
 def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
-                force_impl="pm", pm_grid=128, packed=None, max_blocks=None):
+                force_impl="pm", pm_grid=128, packed=None, max_blocks=None,
+                box: float = BOX):
     def run(steps):
         st, totals = granular_full_kdk_scan(
-            st0, cfg, BOX, n_steps=steps, n_cells=g, max_per_cell=k,
+            st0, cfg, box, n_steps=steps, n_cells=g, max_per_cell=k,
             band_cells=band, packed_caps=packed, max_blocks=max_blocks,
             force_impl=force_impl, pm_grid=pm_grid,
         )
@@ -112,6 +121,17 @@ def main(argv):
     n = int(argv[0]) if argv else 131072
     scene = argv[1] if len(argv) > 1 else "disk"
     force = argv[2] if len(argv) > 2 else "pm"
+    # "cloud@126.0" pins an explicit box; "cloudcd" scales the box with
+    # N^(1/3) so density (and therefore per-cell pair work at fixed cell
+    # SIZE) is constant vs the 131k baseline — separates the physics part
+    # of N-scaling (denser box -> more pairs) from any layout cap tax.
+    box = BOX
+    if scene.startswith("cloud@"):
+        box = float(scene.split("@", 1)[1])
+        scene = "cloud"
+    elif scene == "cloudcd":
+        box = BOX * (n / 131072.0) ** (1.0 / 3.0)
+        scene = "cloud"
     cfgs = []
     for a in argv[3:]:
         parts = a.split(",")
@@ -139,30 +159,39 @@ def main(argv):
                 (32, 16, 4, None, None), (32, 16, None, None, None),
                 (28, 12, 6, None, None)]
     if scene == "cloud":
-        pos, vel, mass = granular_cloud(n)
+        pos, vel, mass = granular_cloud(n, box=box)
     else:
         pos, vel, mass = debris_disk(n - 1)
     st0 = make_granular_state(pos, vel, mass, key=0)
     cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.25,
                     fracture_threshold=8.0)
     for g, k, band, packed, max_blocks in cfgs:
-        if isinstance(packed, tuple) and packed and packed[0] == "auto":
-            from nbx.ops.collide import packed_caps_for
+        try:
+            if isinstance(packed, tuple) and packed and packed[0] == "auto":
+                from nbx.ops.collide import packed_caps_for
 
-            packed = packed_caps_for(st0.pos, BOX, g, band,
-                                     quantile=packed[1])
-        elif isinstance(packed, tuple) and packed and packed[0] == "compact":
-            from nbx.ops.collide import packed_layout_for
+                packed = packed_caps_for(st0.pos, box, g, band,
+                                         quantile=packed[1])
+            elif isinstance(packed, tuple) and packed and packed[0] == "compact":
+                from nbx.ops.collide import packed_layout_for
 
-            lay = packed_layout_for(st0.pos, BOX, g, band,
-                                    quantile=packed[1])
-            packed = lay["packed_caps"]
-            max_blocks = lay["max_blocks"]
-            print(json.dumps(dict(layout=lay)), flush=True)
+                lay = packed_layout_for(st0.pos, box, g, band,
+                                        quantile=packed[1])
+                packed = lay["packed_caps"]
+                max_blocks = lay["max_blocks"]
+                print(json.dumps(dict(layout=lay)), flush=True)
+        except ValueError as e:
+            # auto sizing rejected the config — report it, keep sweeping
+            print(json.dumps(dict(
+                n=n, scene=scene, n_cells=g, band_cells=band,
+                rejected=str(e),
+            )), flush=True)
+            continue
         ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
-                                 packed=packed, max_blocks=max_blocks)
+                                 packed=packed, max_blocks=max_blocks,
+                                 box=box)
         print(json.dumps(dict(
-            n=n, scene=scene, force=force,
+            n=n, scene=scene, force=force, box=round(box, 2),
             n_cells=g, max_per_cell=k, band_cells=band, packed_caps=packed,
             max_blocks=max_blocks,
             ms_per_step=round(ms * 1e3, 2),

@@ -27,17 +27,21 @@ import numpy as np
 
 from nbx.ops.p3m import p3m_acceleration
 
-BOX = 100.0  # isolated convention: bodies live in [0, box/2)^3
+BOX = 100.0
 EPS = 0.1
 
 
 def cluster_scene(n_total: int, n_core: int, sigma: float = 1.5,
                   seed: int = 0):
+    """The round-2 measured scene (docs/RESULTS.md 'adaptive residual'):
+    quasi-uniform field across the full box — the uniform-cell premise
+    holds for the bulk (1M over 25^3 cells = 64/cell < K=96) — plus a
+    dense sigma=1.5 core at the center that overflows its cells."""
     rng = np.random.default_rng(seed)
     n_field = n_total - n_core
-    field = rng.uniform(2.0, 48.0, (n_field, 3))
-    core = rng.normal(25.0, sigma, (n_core, 3))
-    core = np.clip(core, 2.0, 48.0)
+    field = rng.uniform(2.0, 98.0, (n_field, 3))
+    core = rng.normal(50.0, sigma, (n_core, 3))
+    core = np.clip(core, 2.0, 98.0)
     pos = np.concatenate([field, core]).astype(np.float32)
     mass = rng.uniform(0.5, 1.5, n_total).astype(np.float32)
     return jnp.asarray(pos), jnp.asarray(mass), n_field
@@ -76,9 +80,9 @@ def main(argv):
 
     for mode in modes:
         kw = dict(
-            g=64, n_cells=25, max_per_cell=96, eps=EPS,
+            g=128, n_cells=25, max_per_cell=96, eps=EPS,
             max_residual=32768, residual_mode=mode,
-            sub_g=64, sub_cells=16, sub_k=64,
+            sub_g=64, sub_cells=20, sub_k=384,
         )
         acc, unc = p3m_acceleration(pos, mass, 1.0, BOX, **kw)
         np.asarray(acc)  # warm + materialize

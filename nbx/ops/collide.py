@@ -1345,3 +1345,234 @@ def epilogue_rows(delta, evt, body_slot):
     )
     slot = jnp.clip(body_slot, 0, m)
     return delta_p[slot], evt_p[slot]
+
+
+def cell_sort_slabgrid(pos, alive, box_size: float, n_cells: int,
+                       x0_cell, gx: int):
+    """cell_sort over a LOCAL x-slab grid [gx, g, g] whose x origin is the
+    global cell layer x0_cell (TRACED — per-chip axis_index arithmetic):
+    local lx = clip-to-box(global cx) - x0_cell, y/z as in cell_sort.
+    Rows with lx outside [0, gx) or alive=False map to the overflow cell
+    gx*g*g — parked at the END of the sort, never targeted or sourced.
+    (Dead slots are parked deliberately, unlike the whole-grid sort where
+    they occupy real cells: the halo-exchange step reuses slots freely and
+    corpses must not eat window caps.)
+
+    Returns (order [N] i32, starts [gx*g*g + 1] i32, cid_sorted [N] i32).
+    """
+    n = pos.shape[0]
+    g = n_cells
+    h = box_size / g
+    ijk = jnp.clip((pos / h).astype(jnp.int32), 0, g - 1)
+    lx = ijk[:, 0] - jnp.asarray(x0_cell, jnp.int32)
+    n_cells_loc = gx * g * g
+    cid = jnp.where(
+        alive & (lx >= 0) & (lx < gx),
+        (lx * g + ijk[:, 1]) * g + ijk[:, 2],
+        n_cells_loc,
+    )
+    order = jnp.argsort(cid).astype(jnp.int32)
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(
+        cid_sorted, jnp.arange(n_cells_loc + 1)
+    ).astype(jnp.int32)
+    return order, starts, cid_sorted
+
+
+def _column_neighbors_rect(gx: int, gy: int):
+    """9-neighborhood column ids [gx*gy, 9] on a RECTANGULAR (x, y) column
+    grid; invalid offsets -> gx*gy (the dead column). Same (di, dj)
+    enumeration as _column_neighbors (tie-break layout-invariance)."""
+    n_cols = gx * gy
+    cc = jnp.arange(n_cols, dtype=jnp.int32)
+    ci, cj = cc // gy, cc % gy
+    neigh = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ni, nj = ci + di, cj + dj
+            ok = (ni >= 0) & (ni < gx) & (nj >= 0) & (nj < gy)
+            neigh.append(jnp.where(ok, ni * gy + nj, n_cols))
+    return jnp.stack(neigh, axis=1)
+
+
+def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
+    # binned_collision_pass's packed branch (same kernel, same tiling,
+    # same vmem budget)
+    pos,
+    vel,
+    mass,
+    radius,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    packed_caps: tuple[int, int],
+    restitution,
+    friction,
+    x0_cell,  # global x cell layer of LOCAL layer 0 (= slab_lo - 1) — TRACED
+    slab_x: int,  # owned x layers (static); local grid is [slab_x + 2, g, g]
+    interpret: bool = False,
+):
+    """Band-packed layout + fused kernel over a LOCAL slab grid — the
+    per-chip building block of the HALO-EXCHANGE sharded granular step
+    (nbx.parallel.spatial). Unlike packed_collision_blocks_slab (which
+    takes the fully GATHERED body set and walks global tables at a traced
+    column offset), this takes only the chip's OWN body slots plus its
+    x-halo rows ([nl + 2H] arrays, any order) and bins them into a
+    [slab_x + 2, g, g] local grid: global x cell layer x0_cell maps to
+    local layer 0 (the left halo layer), owned layers are [1, slab_x + 1),
+    layer slab_x + 1 is the right halo. TARGET windows cover only the
+    owned layers' columns; source strips cover ALL local columns, so
+    owned targets see their +-1-x neighbors through the halo rows. Every
+    table index is static (the traced offset only shifts per-body cell
+    ids), so the construction compiles like the single-chip packed trace
+    scaled to ~slab_x/g of the grid — per-chip memory O(nl + halo), no
+    O(N) gathered state anywhere.
+
+    Pair-set parity with the whole-grid packed build (zero overflow):
+    identical cells, identical guarded windows — gated by
+    tests/test_spatial.py. Under TARGET-cap overflow the drop set of a
+    boundary window is decided by the LOCAL sort order, which can differ
+    from the neighboring chip's order for its halo copy of the same
+    window; overflow is counted (no-silent-caps) and zero-overflow caps
+    (packed_caps_for) give layout-invariant results. Partner tie-breaks
+    on bitwise-equal depths use LOCAL ids and can likewise differ at the
+    halo boundary (the mutual gate then simply fails: bounce-only, no
+    event) — same documented class as the cross-chunk tie rule.
+
+    Returns (delta [B*T, 8], evt [B*T, 8], body_slot [nl + 2H] (sentinel
+    for halo/overflow/dead rows), n_overflow over OWNED windows).
+    """
+    n = pos.shape[0]
+    g = n_cells
+    b = band_cells
+    w_x = slab_x
+    gx = w_x + 2
+    t_cap, s_cap = packed_caps
+    n_bands = -(-g // b)
+    t_rows = _round_up(max(t_cap, 8), 8)
+    s_capw = max(s_cap, 8)
+    s_rows = _round_up(9 * s_capw, LANE)
+    n_cols_loc = gx * g
+    n_cols_own = w_x * g
+    n_tblocks = n_cols_own * n_bands
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    feats = _body_feats(pos, vel, mass, radius, box_size)
+    par = jnp.asarray([[restitution, friction]], f32)
+    order, starts, cid_sorted = cell_sort_slabgrid(
+        pos, mass > 0.0, box_size, g, x0_cell, gx
+    )
+    feats_sorted = jnp.concatenate([feats[order], feats[n:]], axis=0)
+
+    # ---- window tables: targets over OWNED columns [g, g + w_x*g) --------
+    cols_own = g + jnp.arange(n_cols_own, dtype=i32)
+    w_r = jnp.arange(n_bands, dtype=i32)
+    ts_tab = starts[cols_own[:, None] * g + w_r[None, :] * b]
+    te_tab = starts[
+        cols_own[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+    ]
+    cnt_t = te_tab - ts_tab
+    n_t_over = jnp.sum(jnp.maximum(cnt_t - t_rows, 0))
+    lo_cell = jnp.maximum(w_r * b - 1, 0)
+    hi_cell = jnp.minimum(w_r * b + b + 1, g)
+
+    # ---- source-window tables over ALL local columns ---------------------
+    cols_all = jnp.arange(n_cols_loc, dtype=i32)
+    ss_tab = starts[cols_all[:, None] * g + lo_cell[None, :]]
+    se_tab = starts[cols_all[:, None] * g + hi_cell[None, :]]
+    # source overflow counted over OWNED columns only: each boundary
+    # window is owned by exactly one chip, so per-chip psums add up to a
+    # whole-grid count without double-counting halo copies
+    own_rows = jax.lax.slice_in_dim(se_tab - ss_tab, g, g + n_cols_own, 1, 0)
+    n_s_over = jnp.sum(jnp.maximum(own_rows - s_capw, 0))
+    n_overflow = n_t_over + n_s_over
+
+    # ---- targets: consecutive-run row gather -----------------------------
+    ar_t = jnp.arange(t_rows, dtype=i32)
+    valid_t = ar_t[None, None, :] < jnp.minimum(cnt_t, t_rows)[..., None]
+    take_t = ts_tab[..., None] + ar_t
+    tgt = feats_sorted[
+        jnp.where(valid_t, jnp.minimum(take_t, n), n)
+    ].reshape(-1, 16)
+    # body -> target-block slot; halo/overflow/dead rows get the sentinel
+    p_r = jnp.arange(n, dtype=i32)
+    col_s = cid_sorted // g  # n_cols_loc for overflow-parked rows
+    w_own = jnp.minimum(cid_sorted - col_s * g, g - 1) // b
+    owned = (col_s >= g) & (col_s < g + n_cols_own)
+    col_rel = jnp.clip(col_s - g, 0, n_cols_own - 1)
+    rank_t = p_r - ts_tab[col_rel, w_own]
+    slot_sorted = jnp.where(
+        owned & (rank_t < t_rows),
+        (col_rel * n_bands + w_own) * t_rows + rank_t,
+        n_tblocks * t_rows,
+    )
+    body_slot = slot_sorted[_invert_order(order, n)]
+
+    # ---- sources: strips for all local columns, whole-chunk fusion -------
+    # target-cap-dropped bodies masked out of the source role by their
+    # LOCAL window rank (halo rows use their halo-window rank) — keeps
+    # counted overflow momentum-symmetric within this chip's blocks
+    rank_w = p_r - starts[jnp.minimum(col_s * g + w_own * b, n_cols_loc * g)]
+    t_ok = jnp.concatenate(
+        [(rank_w < t_rows) & (col_s < n_cols_loc), jnp.zeros((1,), bool)]
+    )  # [n + 1], indexed by SORTED position
+    ar_s = jnp.arange(s_capw, dtype=i32)
+    valid_s = (
+        ar_s[None, None, :]
+        < jnp.minimum(se_tab - ss_tab, s_capw)[..., None]
+    )
+    take_s = jnp.minimum(ss_tab[..., None] + ar_s, n)
+    strips = feats_sorted[
+        jnp.where(valid_s & t_ok[take_s], take_s, n)
+    ]  # [n_cols_loc, n_bands, s_capw, 16]
+    stripsT = strips.transpose(0, 1, 3, 2)
+    dead_strip = jnp.broadcast_to(
+        feats[n][:, None], (1, n_bands, 16, s_capw)
+    )
+    stripsT = jnp.concatenate([stripsT, dead_strip], axis=0)
+    neigh = _column_neighbors_rect(gx, g)[g:g + n_cols_own]  # [own, 9]
+    fused = stripsT[neigh]  # [own, 9, n_bands, 16, s_capw]
+    fused = fused.transpose(0, 2, 3, 1, 4).reshape(
+        n_cols_own, n_bands, 16, 9 * s_capw
+    )
+    lane_pad = jnp.broadcast_to(
+        feats[n][:, None],
+        (n_cols_own, n_bands, 16, s_rows - 9 * s_capw),
+    )
+    src = jnp.concatenate([fused, lane_pad], axis=3).reshape(-1, s_rows)
+
+    delta, evt = pl.pallas_call(
+        _collide_kernel_fused,
+        grid=(n_tblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n_tblocks * t_rows * s_rows,
+            bytes_accessed=(n_tblocks * (t_rows * 16 + s_rows * 16
+                                         + t_rows * 16)) * 4,
+            transcendentals=n_tblocks * t_rows * s_rows,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(par, tgt, src)
+    return delta, evt, body_slot, n_overflow

@@ -122,7 +122,20 @@ def pm_acceleration(
     sharpening forces near the grid scale.
     """
     rho = cic_deposit(pos, mass, box_size, g, periodic=not isolated)
+    acc_grid = pm_solve_grid(rho, G, box_size, g, isolated, deconvolve)
+    return cic_gather(acc_grid, pos, box_size, g, periodic=not isolated)
 
+
+@functools.partial(jax.jit, static_argnames=("g", "isolated", "deconvolve"))
+def pm_solve_grid(rho, G, box_size: float, g: int,
+                  isolated: bool = True, deconvolve: bool = True):
+    """[g, g, g, 3] acceleration grid from a deposited density grid — the
+    FFT solve of pm_acceleration factored out so a SHARDED caller can
+    psum per-chip cic_deposit grids into the global density and run this
+    (replicated, N-independent) solve without ever gathering bodies
+    (nbx.parallel.spatial's halo-exchange step). Jitted for standalone
+    use: the axon TPU backend has no EAGER complex-arithmetic kernels
+    (measured: UNIMPLEMENTED on the un-jitted ifftn path)."""
     if isolated:
         gp = 2 * g
         h = box_size / g
@@ -157,7 +170,7 @@ def pm_acceleration(
         az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
         acc_grid = -jnp.stack([ax, ay, az], axis=-1)
 
-    return cic_gather(acc_grid, pos, box_size, g, periodic=not isolated)
+    return acc_grid
 
 
 def _cic_window(g: int) -> jax.Array:

@@ -143,3 +143,32 @@ def test_compiled_mxu_variant_error():
     got = pairwise_acc(pos, mass, 0.5, 0.5, precision="mxu")
     err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
     assert err < 2e-2, f"compiled mxu error {err}"
+
+
+def test_compiled_local_slab_kernel_matches_interpret():
+    """packed_collision_blocks_local (the halo-exchange step's per-chip
+    building block, nbx.parallel.spatial): compiled Mosaic vs interpret on
+    one chip, degenerate single-slab configuration (x0_cell=-1, slab_x=g:
+    every global column is owned, both halo layers empty) — the same
+    kernel body as the packed layout, but the slab-grid table construction
+    and the traced x-offset are what this gate pins on-chip."""
+    from nbx.config import body_radius, default_materials
+    from nbx.ops.collide import epilogue_rows, packed_collision_blocks_local
+
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(10, 90, (512, 3)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (512, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(5.0, 20.0, 512), jnp.float32)
+    radius = body_radius(mass, jnp.zeros(512, jnp.int32),
+                         default_materials()) * 2.0
+    outs = {}
+    for interp in (False, True):
+        delta, evt, body_slot, novf = packed_collision_blocks_local(
+            pos, vel, mass, radius, 100.0, 8, 3, (64, 96),
+            0.2, 0.05, jnp.int32(-1), 8, interpret=interp)
+        outs[interp] = (*epilogue_rows(delta, evt, body_slot), novf)
+    (d_c, e_c, nov_c), (d_i, e_i, nov_i) = outs[False], outs[True]
+    assert int(nov_c) == int(nov_i) == 0
+    err = float(jnp.abs(d_c - d_i).max()) / (float(jnp.abs(d_i).max()) + 1e-12)
+    assert err < 1e-5, f"delta mismatch {err}"
+    assert (np.asarray(e_c[:, 1]) == np.asarray(e_i[:, 1])).all()  # partners

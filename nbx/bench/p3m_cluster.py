@@ -79,10 +79,16 @@ def main(argv):
     pos, mass, n_field = cluster_scene(n_total, n_core)
 
     for mode in modes:
+        # g=64: the round-2 measured base (0.72 s); g=128 alone costs 2.7 s.
+        # Submesh: cost is subcells * 27 * sub_k^2 REGARDLESS of occupancy,
+        # so size sub_k to the peak submesh-cell density and refine
+        # sub_cells — (20, 384) measured 32G pair-lanes (~10 s of padding).
+        # sub_g must resolve a1 (>= 3*sub_cells, enforced): (32, 48)@64
+        # measured core err 2.6e-2 from the under-resolved band term.
         kw = dict(
-            g=128, n_cells=25, max_per_cell=96, eps=EPS,
+            g=64, n_cells=25, max_per_cell=96, eps=EPS,
             max_residual=32768, residual_mode=mode,
-            sub_g=64, sub_cells=20, sub_k=384,
+            sub_g=96, sub_cells=24, sub_k=96,
         )
         acc, unc = p3m_acceleration(pos, mass, 1.0, BOX, **kw)
         np.asarray(acc)  # warm + materialize

@@ -295,34 +295,64 @@ def _residual_short_acc(
         w = w * jnp.where(live[:, None], 1.0, 0.0)
         # residual body's acceleration from table sources
         acc_r = jnp.einsum("ck,ckd->cd", w * sm, d)
-        # reaction on the table sources: -w * m_res * d
-        react = -(w * m_c[:, None])[..., None] * d  # [c, 27K, 3]
+        # reaction on the table sources: -w * m_res * d, folded to
+        # per-(neighbor CELL, table slot) rows — see the scatter note below
+        react = (-(w * m_c[:, None])[..., None] * d).reshape(chunk, 27, k, 3)
         if include_rr:
             # residual-residual (both directions present across rows)
             drr = pr[None, :, :] - p_c[:, None, :]  # [c, M, 3]
             wrr, _ = w_of(drr)
             wrr = wrr * jnp.where(live[:, None], 1.0, 0.0)
             acc_r = acc_r + jnp.einsum("ck,ckd->cd", wrr * mr[None, :], drr)
-        return acc_r, react, src
+        return acc_r, react, neigh[rows]
 
     n_chunks = (m + chunk - 1) // chunk
     n_live = jnp.sum(res_valid.astype(jnp.int32))
+    g3 = g * g * g
 
-    def guarded(m0):
+    # REACTION SCATTER AT CELL GRANULARITY: the original implementation
+    # scattered every (residual, table-slot) pair row straight into the
+    # [N, 3] body array — M * 27K three-float rows (85M at the 1M+30k
+    # bench scene), and XLA TPU scatter serializes row updates (the same
+    # lesson as the collision-layout scatters, CLAUDE.md). Fold instead:
+    # each (residual row, neighbor) contributes ONE [K, 3] block to its
+    # neighbor CELL -> M * 27 wide rows (27K/3x fewer, K*3-float lanes)
+    # into a [g^3 + 1, K, 3] grid, accumulated as a lax.scan carry so the
+    # per-pair reaction tensor is never materialized whole. The grid then
+    # reaches bodies by a pure GATHER: a table body's slot is a FUNCTION
+    # of the cell sort (slot = cid * K + rank), so no second scatter.
+    def guarded(acc_cells, m0):
         # skip chunks entirely past the live overflow count: runtime cost
         # scales with the ACTUAL overflow, not the static max_residual cap
         zero = (
             jnp.zeros((chunk, 3), jnp.float32),
-            jnp.zeros((chunk, 27 * k, 3), jnp.float32),
-            jnp.full((chunk, 27 * k), n, jnp.int32),
+            jnp.zeros((chunk, 27, k, 3), jnp.float32),
+            jnp.full((chunk, 27), g3, jnp.int32),
         )
-        return jax.lax.cond(m0 < n_live, res_chunk, lambda _: zero, m0)
+        acc_r, react, cells = jax.lax.cond(
+            m0 < n_live, res_chunk, lambda _: zero, m0
+        )
+        acc_cells = acc_cells.at[cells.reshape(-1)].add(
+            react.reshape(-1, k, 3)
+        )
+        return acc_cells, acc_r
 
-    acc_r, react, srcs = jax.lax.map(
-        guarded, jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    acc_cells, acc_r = jax.lax.scan(
+        guarded,
+        jnp.zeros((g3 + 1, k, 3), jnp.float32),
+        jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
     )
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
+    p_i = jnp.arange(n, dtype=jnp.int32)
+    rank_s = p_i - starts[cid_sorted]
+    slot_s = jnp.where(rank_s < k, cid_sorted * k + rank_s, g3 * k)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(p_i)
+    flat = jnp.concatenate(
+        [acc_cells[:g3].reshape(g3 * k, 3), jnp.zeros((1, 3), jnp.float32)],
+        axis=0,
+    )  # row g3*k = zero (cap-dropped bodies; the g3 junk cell is cut)
     acc = jnp.zeros((n + 1, 3), jnp.float32)
-    acc = acc.at[srcs.reshape(-1)].add(react.reshape(-1, 3), mode="drop")
+    acc = acc.at[:n].add(flat[jnp.minimum(slot_s[inv], g3 * k)])
     # rows beyond m were clamped to m-1: drop their duplicate residual accs
     rows_ok = (
         jnp.arange(n_chunks * chunk) < m
@@ -337,6 +367,7 @@ def _residual_short_acc(
 def _residual_rr_twolevel(
     pos, mass, G, eps, a0, res_idx, res_valid,
     sub_g: int = 64, sub_cells: int = 16, sub_k: int = 64,
+    out_cap: int = 1024,
 ):
     """Residual-residual short-range term on a REFINED submesh — the
     two-level P3M that replaces the dense [M, M] block of
@@ -348,17 +379,26 @@ def _residual_rr_twolevel(
                      + erfc(r/a1)/r                (short1 -> fine binned PP)
 
     The submesh is a cube centered dynamically on the residual bodies and
-    sized to their extent: grid RESOLUTION is static, the physical size is
-    a traced value (XLA shapes never depend on the data), so the same
-    executable serves a tight core or a scattered overflow — for scattered
-    residuals a1 >= a0 and the band just carries a negative correction
-    (the split identity holds for any a1 > 0). Real bodies stay >= 1 cell
-    from the submesh boundary (size margin), so the boundary face cells are
-    free to park the dead padding rows without evicting live table slots.
+    sized to the QUANTILE box [0.005, 0.995] of their per-axis positions:
+    grid RESOLUTION is static, the physical size is a traced value (XLA
+    shapes never depend on the data), so the same executable serves a
+    tight core or a scattered overflow — for scattered residuals a1 >= a0
+    and the band just carries a negative correction (the split identity
+    holds for any a1 > 0). Quantile sizing is what makes the pass ROBUST:
+    max-extent sizing let a handful of scattered field-cell overflows
+    inflate the submesh to the whole box, squeezing the real core into
+    ~2 submesh cells (measured on the 1M+30k bench scene: 26k fine-binning
+    drops, core error 0.38). Residuals OUTSIDE the quantile box get the
+    EXACT dense rr term instead, against all residual rows (an
+    [out_cap, M] block; reactions land on in-submesh rows only, so
+    out-out pairs are counted once per ordered copy exactly like the
+    dense path) — out-rows past out_cap are counted uncorrected. Real
+    in-submesh bodies stay >= 1 cell from the submesh boundary (size
+    margin), so the boundary face cells are free to park the dead padding
+    and out-of-box rows without evicting live table slots.
 
     Restricted to the residual SET, exactly like the dense block it
-    replaces. Cost O(sub_g^3 log + M 27 K1) vs O(M^2): the measured 7.3 s
-    dense term at M ~ 29k becomes a fixed ~sub-second pass.
+    replaces. Cost O(sub_g^3 log + M 27 K1 + out_cap M) vs O(M^2).
     Returns ([N, 3] delta, n_sub_uncorrected).
     """
     from jax.scipy.special import erf
@@ -367,19 +407,49 @@ def _residual_rr_twolevel(
         # the size-factor margin sub_cells/(sub_cells - 2.5) assumes
         # >= ~1.25 cells of boundary padding; <= 2 flips its sign entirely
         raise ValueError(f"sub_cells must be >= 4, got {sub_cells}")
+    if sub_g < 3 * sub_cells:
+        # a1 = l1/sub_cells/3 must be resolved by the submesh (h1 = l1/sub_g
+        # <= a1), exactly the level-0 rule g >= 3*n_cells. Measured when
+        # violated ((sub_cells=32, sub_g=64) -> h1 = 1.5*a1): core median
+        # error 2.6e-2 vs 4.5e-3 at a resolved tune on the same scene.
+        raise ValueError(
+            f"sub_g={sub_g} under-resolves a1: need sub_g >= 3*sub_cells "
+            f"(= {3 * sub_cells}) so the submesh band term is accurate"
+        )
     n = pos.shape[0]
+    m = res_idx.shape[0]
+    i32 = jnp.int32
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3))], 0)
     mass_p = jnp.concatenate([mass, jnp.zeros((1,))], 0)
     ridx_p = jnp.where(res_valid, res_idx, n)
     pr = pos_p[ridx_p]  # [M, 3]
     mr = jnp.where(res_valid, mass_p[ridx_p], 0.0)
 
-    count = jnp.maximum(jnp.sum(res_valid.astype(jnp.float32)), 1.0)
-    c = jnp.sum(jnp.where(res_valid[:, None], pr, 0.0), 0) / count
-    half = jnp.max(jnp.where(res_valid[:, None], jnp.abs(pr - c), 0.0))
-    l1 = jnp.maximum(2.0 * half, 1e-3) * (sub_cells / (sub_cells - 2.5))
+    # robust extent: per-axis median +- 6x the interquartile half-width of
+    # the live rows (dead rows sort last behind +BIG). The median/IQR pair
+    # tracks the BULK of the residual mass: a Gaussian core is covered to
+    # ~4 sigma (6 x 0.674 sigma), while satellite clumps or stragglers —
+    # whatever their count — sit outside and take the exact fallback. A
+    # coverage quantile cannot do this: a 12%-of-residuals clump drags a
+    # [0.5%, 99.5%] box across the whole domain (measured: core error
+    # 0.18 on a core+clumps scene).
+    n_live = jnp.sum(res_valid.astype(i32))
+    live_f = jnp.maximum(n_live.astype(jnp.float32), 1.0)
+    qs = jnp.sort(jnp.where(res_valid[:, None], pr, 3.0e38), axis=0)
+    at = lambda f: jnp.take(
+        qs, jnp.clip((f * live_f).astype(i32), 0, m - 1), axis=0
+    )
+    q25, q50, q75 = at(0.25), at(0.50), at(0.75)
+    c = q50
+    half = jnp.maximum(jnp.max(3.0 * (q75 - q25)), 1e-3)
+    l1 = 2.0 * half * (sub_cells / (sub_cells - 2.5))
+    # in-submesh test against the real capacity (>= 1 cell of margin)
+    half_in = 0.5 * l1 - l1 / sub_cells
+    in_sub = res_valid & jnp.all(jnp.abs(pr - c) <= half_in, axis=1)
+    mr_sub = jnp.where(in_sub, mr, 0.0)
     q = pr - c + 0.5 * l1
-    # park invalid rows spread over the (real-free) far x face
+    # park invalid AND out-of-box rows spread over the (real-free) far
+    # x face
     t = jnp.arange(q.shape[0], dtype=jnp.float32)
     park = jnp.stack(
         [jnp.full_like(t, 0.9995) * l1,
@@ -387,11 +457,11 @@ def _residual_rr_twolevel(
          jnp.mod(t * 0.3819660113, 1.0) * l1],
         axis=1,
     )
-    q = jnp.where(res_valid[:, None], q, park)
+    q = jnp.where(in_sub[:, None], q, park)
     a1 = l1 / sub_cells / 3.0  # same a = cell/3 convention as level 0
 
     # ---- band term on the submesh (vacuum Hockney, traced size) ----------
-    rho = cic_deposit(q, mr, l1, sub_g, periodic=False)
+    rho = cic_deposit(q, mr_sub, l1, sub_g, periodic=False)
     gp = 2 * sub_g
     h1 = l1 / sub_g
     rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[
@@ -421,17 +491,44 @@ def _residual_rr_twolevel(
     acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:sub_g, :sub_g, :sub_g]
     acc_band = cic_gather(acc_grid, q, l1, sub_g, periodic=False)
 
-    # ---- short1: fine binned PP among the residual rows -------------------
+    # ---- short1: fine binned PP among the in-submesh rows -----------------
     table1, _, _, dropped1 = cell_bin_full(q, l1, sub_cells, sub_k)
     acc_s1, _ = short_range_acc(
-        q, mr, G, a1, l1, sub_cells, sub_k, eps,
+        q, mr_sub, G, a1, l1, sub_cells, sub_k, eps,
         table=table1, n_overflow=jnp.int32(0),
     )
-    n_sub = jnp.sum((dropped1 & res_valid).astype(jnp.int32))
+    n_sub = jnp.sum((dropped1 & in_sub).astype(jnp.int32))
 
+    # ---- outlier rows: exact dense rr block vs ALL residual rows ----------
+    # (the level-0 short kernel at a0, the exact term the dense path would
+    # give these pairs). Reactions go to IN-SUBMESH rows only: out-out
+    # pairs already appear once per ordered copy across the block rows.
+    out = res_valid & ~in_sub
+    oi, o_valid = take_rows(out, out_cap)
+    po = pr[oi]  # [out_cap, 3]
+    mo = jnp.where(o_valid, mr[oi], 0.0)
+    a32 = jnp.asarray(a0, jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    d_o = pr[None, :, :] - po[:, None, :]  # [out_cap, M, 3]
+    r2o = jnp.sum(d_o * d_o, -1)
+    s_o = jnp.sqrt(jnp.where(r2o + eps2 > 0, r2o + eps2, 1.0))
+    w_o = jnp.where(
+        (r2o > 0) & o_valid[:, None],
+        _short_force_mag(s_o, a32, G) / s_o,
+        0.0,
+    )
+    acc_out = jnp.einsum("om,omd->od", w_o * mr[None, :], d_o)
+    w_in = w_o * jnp.where(in_sub[None, :], 1.0, 0.0)
+    acc_react = -jnp.einsum("om,omd->md", w_in * mo[:, None], d_o)
+    n_sub = n_sub + jnp.sum(out.astype(i32)) - jnp.sum(o_valid.astype(i32))
+
+    total = jnp.where(in_sub[:, None], acc_band + acc_s1, 0.0) + acc_react
+    total = total.at[oi].add(
+        jnp.where(o_valid[:, None], acc_out, 0.0), mode="drop"
+    )
     acc = jnp.zeros((n + 1, 3), jnp.float32)
     acc = acc.at[ridx_p].add(
-        jnp.where(res_valid[:, None], acc_band + acc_s1, 0.0), mode="drop"
+        jnp.where(res_valid[:, None], total, 0.0), mode="drop"
     )
     return acc[:n], n_sub
 

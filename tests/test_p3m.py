@@ -195,3 +195,41 @@ def test_p3m_twolevel_fine_binning_drop_counted():
         sub_g=32, sub_cells=8, sub_k=1,
     )
     assert int(uncorrected) > 0
+
+
+def test_p3m_twolevel_robust_to_outlier_residuals():
+    """Satellite clumps far from the main core must not inflate the
+    two-level submesh (regression: max-extent sizing squeezed the core
+    into ~2 submesh cells — 26k fine-binning drops and core error 0.38 on
+    the 1M+30k bench scene; a coverage-quantile box failed the same way
+    once outliers exceeded its trim fraction). Median/IQR sizing keeps
+    the submesh on the core and routes the clumps through the exact
+    outlier fallback: twolevel must match dense within tolerance with
+    nothing uncorrected."""
+    rng = np.random.default_rng(0)
+    box = 100.0
+    field = rng.uniform(2.0, 98.0, (6200, 3))
+    core = np.clip(rng.normal(50.0, 1.5, (1752, 3)), 2, 98)
+    clump1 = np.clip(rng.normal(15.0, 0.3, (120, 3)), 2, 98)
+    clump2 = np.clip(rng.normal(85.0, 0.3, (120, 3)), 2, 98)
+    pos = jnp.asarray(np.concatenate([field, core, clump1, clump2]),
+                      jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, pos.shape[0]), jnp.float32)
+    eps = 0.1
+    direct = np.asarray(
+        forces.accelerations_blocked(pos, mass, 1.0, eps, 1024)
+    )
+    nrm = np.linalg.norm(direct, axis=1) + 1e-9
+    errs = {}
+    for mode in ("dense", "twolevel"):
+        acc, unc = p3m_acceleration(
+            pos, mass, 1.0, box, g=64, n_cells=25, max_per_cell=8, eps=eps,
+            max_residual=4096, residual_mode=mode,
+            sub_g=64, sub_cells=16, sub_k=128,
+        )
+        assert int(unc) == 0, mode
+        errs[mode] = np.linalg.norm(np.asarray(acc) - direct, axis=1) / nrm
+    for seg, sl in (("core", slice(6200, 7952)), ("clumps", slice(7952, None))):
+        tw = float(np.median(errs["twolevel"][sl]))
+        de = float(np.median(errs["dense"][sl]))
+        assert tw < 1.5 * de + 1e-3, (seg, tw, de)

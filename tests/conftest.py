@@ -67,6 +67,35 @@ def pytest_configure(config):
 import pytest  # noqa: E402
 
 
+def _n_maps() -> int:
+    """Current VMA count of this process (Linux); 0 where unreadable."""
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _map_count_guard():
+    """Drop jit caches when the process nears the kernel's vm.max_map_count.
+
+    Every XLA:CPU executable the suite compiles stays alive in jax's
+    in-process caches, and each holds JIT code pages + guard mappings: the
+    full suite accumulates ~65k VMAs and the kernel's default
+    vm.max_map_count=65530 then makes LLVM's next mmap fail — measured as a
+    hard SIGSEGV inside pjit compile at the suite's largest compile
+    (tests/test_spatial.py, ~test 200), 3/3 deterministic, while any subset
+    of the suite passes. Clearing caches frees the executables and their
+    mappings; the threshold keeps the (expensive) recompiles rare — it
+    triggers ~once per full run, never in module-sized runs."""
+    if _n_maps() > 45_000:
+        import jax
+
+        jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     import jax

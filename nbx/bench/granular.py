@@ -118,9 +118,17 @@ def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
 
 
 def main(argv):
-    n = int(argv[0]) if argv else 131072
+    # N may be a comma list ("131072,262144"): all Ns run in THIS process —
+    # cross-process TPU timing drifts up to ~1.5x (CLAUDE.md), so scaling
+    # tables must come from one interleaved process.
+    ns = ([int(x) for x in argv[0].split(",")] if argv else [131072])
     scene = argv[1] if len(argv) > 1 else "disk"
     force = argv[2] if len(argv) > 2 else "pm"
+    for n in ns:
+        _run_one(n, scene, force, argv)
+
+
+def _run_one(n, scene, force, argv):
     # "cloud@126.0" pins an explicit box; "cloudcd" scales the box with
     # N^(1/3) so density (and therefore per-cell pair work at fixed cell
     # SIZE) is constant vs the 131k baseline — separates the physics part
@@ -187,9 +195,19 @@ def main(argv):
                 rejected=str(e),
             )), flush=True)
             continue
-        ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
-                                 packed=packed, max_blocks=max_blocks,
-                                 box=box)
+        try:
+            ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
+                                     packed=packed, max_blocks=max_blocks,
+                                     box=box)
+        except Exception as e:  # compile/run failure — report, keep sweeping
+            # (measured: whole-grid BANDED tables at g=128 ask for a 554 GB
+            # src gather — the bench must survive a config that can't build)
+            print(json.dumps(dict(
+                n=n, scene=scene, n_cells=g, max_per_cell=k, band_cells=band,
+                packed_caps=packed, max_blocks=max_blocks,
+                failed=str(e)[:300],
+            )), flush=True)
+            continue
         print(json.dumps(dict(
             n=n, scene=scene, force=force, box=round(box, 2),
             n_cells=g, max_per_cell=k, band_cells=band, packed_caps=packed,

@@ -97,7 +97,7 @@ def render_and_advance(
     stars: jax.Array | None = None,
     bloom_strength: float = 1.2,
     bloom_threshold: float = 0.3,
-    n_impostors: int = 8,
+    n_impostors: int = 64,
 ):
     """One rendered frame + advanced renderer state. `events` may be a
     single-substep Events or a substep-stacked one (leaves [S, ...]).
@@ -105,7 +105,12 @@ def render_and_advance(
     bloom_strength/bloom_threshold are dynamic jit args — the lil-gui
     Visuals sliders (index.html:862-863) retune them without recompiling.
     n_impostors > 0 shades that many nearest bodies with the per-pixel
-    planet-surface pass (nbx.render.impostor); 0 disables it."""
+    planet-surface pass (nbx.render.impostor); 0 disables it. The default
+    64 follows the measured cost curve (v5e, capacity 300, 640x360,
+    scan-slope methodology): the pass costs a flat ~23 ms/frame whether
+    K = 8 or 128 — the full-screen [H, W, K] broadcast is NOT the cost
+    driver at these K — so near-complete coverage is free relative to
+    the old K = 8 (docs/RESULTS.md 'impostor cost curve')."""
     radius = state.radius(cfg)
     c1, c2 = cfg.materials.color1, cfg.materials.color2
 

@@ -91,12 +91,12 @@ def granular_cloud(n: int, seed: int = 0, box: float = BOX):
 
 def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
                 force_impl="pm", pm_grid=128, packed=None, max_blocks=None,
-                box: float = BOX):
+                buckets=None, box: float = BOX):
     def run(steps):
         st, totals = granular_full_kdk_scan(
             st0, cfg, box, n_steps=steps, n_cells=g, max_per_cell=k,
             band_cells=band, packed_caps=packed, max_blocks=max_blocks,
-            force_impl=force_impl, pm_grid=pm_grid,
+            buckets=buckets, force_impl=force_impl, pm_grid=pm_grid,
         )
         np.asarray(st.pos)  # materialize = the only reliable sync
         return st, totals
@@ -143,14 +143,16 @@ def _run_one(n, scene, force, argv):
     cfgs = []
     for a in argv[3:]:
         parts = a.split(",")
-        if len(parts) == 4 and parts[3][0] not in ("a", "c"):
+        if len(parts) == 4 and parts[3][0] not in ("a", "c", "u"):
             raise SystemExit(
                 f"bad cfg {a!r}: packed caps need BOTH Tc,Sc (g,K,B,Tc,Sc)"
-                " or 'a'/'c' (optionally 'a0.999'/'c0.999') for auto"
+                " or 'a'/'c'/'u' (optionally 'a0.999'/'u0.8') for auto"
             )
-        if len(parts) > 3 and parts[3][0] in ("a", "c"):
-            mode = "auto" if parts[3][0] == "a" else "compact"
-            q = float(parts[3][1:]) if len(parts[3]) > 1 else 1.0
+        if len(parts) > 3 and parts[3][0] in ("a", "c", "u"):
+            mode = {"a": "auto", "c": "compact", "u": "bucket"}[parts[3][0]]
+            q = float(parts[3][1:]) if len(parts[3]) > 1 else (
+                0.8 if mode == "bucket" else 1.0
+            )
             packed = (mode, q)
         elif len(parts) > 3:
             packed = (int(parts[3]), int(parts[4]))
@@ -174,8 +176,16 @@ def _run_one(n, scene, force, argv):
     cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.25,
                     fracture_threshold=8.0)
     for g, k, band, packed, max_blocks in cfgs:
+        buckets = None
         try:
-            if isinstance(packed, tuple) and packed and packed[0] == "auto":
+            if isinstance(packed, tuple) and packed and packed[0] == "bucket":
+                from nbx.ops.collide import bucketed_layout_for
+
+                buckets = bucketed_layout_for(st0.pos, box, g, band,
+                                              split_quantile=packed[1])
+                packed = None
+                print(json.dumps(dict(buckets=buckets)), flush=True)
+            elif isinstance(packed, tuple) and packed and packed[0] == "auto":
                 from nbx.ops.collide import packed_caps_for
 
                 packed = packed_caps_for(st0.pos, box, g, band,
@@ -198,7 +208,7 @@ def _run_one(n, scene, force, argv):
         try:
             ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
                                      packed=packed, max_blocks=max_blocks,
-                                     box=box)
+                                     buckets=buckets, box=box)
         except Exception as e:  # compile/run failure — report, keep sweeping
             # (measured: whole-grid BANDED tables at g=128 ask for a 554 GB
             # src gather — the bench must survive a config that can't build)
@@ -211,7 +221,7 @@ def _run_one(n, scene, force, argv):
         print(json.dumps(dict(
             n=n, scene=scene, force=force, box=round(box, 2),
             n_cells=g, max_per_cell=k, band_cells=band, packed_caps=packed,
-            max_blocks=max_blocks,
+            max_blocks=max_blocks, buckets=buckets,
             ms_per_step=round(ms * 1e3, 2),
             n_overflow=totals["n_overflow"],
             cell_too_small=bool(totals["cell_too_small"]),

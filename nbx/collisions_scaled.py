@@ -116,7 +116,7 @@ class ScaledEvents(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
-                     "max_blocks", "interpret"),
+                     "max_blocks", "buckets", "interpret"),
 )
 def resolve_collisions_scaled(
     state: GranularState,
@@ -128,6 +128,7 @@ def resolve_collisions_scaled(
     band_cells: int | None = None,
     packed_caps: tuple[int, int] | None = None,
     max_blocks: int | None = None,
+    buckets: tuple[tuple[int, int, int], ...] | None = None,
     interpret: bool = False,
 ) -> tuple[GranularState, ScaledEvents]:
     """One full collision substep at scale (reference resolveCollisions,
@@ -142,7 +143,7 @@ def resolve_collisions_scaled(
         binned_collision_pass(
             state.pos, state.vel, state.mass, radius, box_size, n_cells,
             cfg.restitution, cfg.friction, max_per_cell, band_cells,
-            packed_caps, max_blocks, interpret,
+            packed_caps, max_blocks, buckets, interpret,
         )
     )
     pos = state.pos + dpos
@@ -286,7 +287,7 @@ def resolve_collisions_scaled(
     jax.jit,
     static_argnames=(
         "n_steps", "n_cells", "max_per_cell", "band_cells", "packed_caps",
-        "max_blocks", "force_impl", "pm_grid", "interpret",
+        "max_blocks", "buckets", "force_impl", "pm_grid", "interpret",
     ),
 )
 def granular_full_kdk_scan(
@@ -299,6 +300,7 @@ def granular_full_kdk_scan(
     band_cells: int | None = None,
     packed_caps: tuple[int, int] | None = None,
     max_blocks: int | None = None,
+    buckets: tuple[tuple[int, int, int], ...] | None = None,
     force_impl: str = "auto",
     pm_grid: int = 128,
     interpret: bool = False,
@@ -340,7 +342,7 @@ def granular_full_kdk_scan(
         st = st._replace(pos=pos, vel=vel)
         st, ev = resolve_collisions_scaled(
             st, cfg, h, box_size, n_cells, max_per_cell, band_cells,
-            packed_caps, max_blocks, interpret,
+            packed_caps, max_blocks, buckets, interpret,
         )
         # slots reborn by merge/fracture are NEWBORN: acc = 0
         # (index.html:217) — their pre-event acc includes dead partners'

@@ -475,6 +475,97 @@ def packed_layout_for(
     )
 
 
+def _window_max_strip_runs(pos, box_size: float, n_cells: int,
+                           band_cells: int):
+    """Per-window (column x band) MAX guarded-strip run over the 9 neighbor
+    columns, numpy [n_cols, n_bands] (host-side). This — not the own-column
+    run — is what the per-strip source cap of the compacted/bucketed
+    layouts must cover."""
+    import numpy as np
+
+    g = n_cells
+    _, cnt_s = _window_counts(pos, box_size, n_cells, band_cells)
+    n_bands = cnt_s.shape[1]
+    # pad with a zero-run virtual column for out-of-range neighbors
+    cs = np.concatenate([cnt_s, np.zeros((1, n_bands), cnt_s.dtype)], axis=0)
+    cc = np.arange(g * g)
+    ci, cj = cc // g, cc % g
+    m = np.zeros_like(cnt_s)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ni, nj = ci + di, cj + dj
+            ok = (ni >= 0) & (ni < g) & (nj >= 0) & (nj < g)
+            idx = np.where(ok, ni * g + nj, g * g)
+            m = np.maximum(m, cs[idx])
+    return m
+
+
+def bucketed_layout_for(
+    pos,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    split_quantile: float = 0.8,
+    slack: float = 1.25,
+    block_slack: float = 1.3,
+    max_source_lanes: int = 8192,
+    max_block_pair_lanes: int = 2 * 1024 * 1024,
+) -> tuple[tuple[int, int, int], ...]:
+    """Measure THIS frame's window occupancy and size a two-bucket
+    occupancy-compacted configuration for binned_collision_pass(buckets=...):
+    ((t_cap1, s_cap1, max_blocks1), (t_cap2, s_cap2, max_blocks2)).
+
+    Bucket 1 takes every occupied window whose target count and max
+    neighbor-strip run fit caps sized at `split_quantile` of the occupied
+    distribution; bucket 2 takes the tail at max-sized caps. Single-tier
+    caps must track the densest window (an extreme-value tail that grows
+    with the window count — docs/RESULTS.md "N-scaling"), so the bulk of
+    windows pays ~cap_tail/cap_median more pair lanes than their occupancy
+    needs; two buckets bound that tax at the cost of one extra (small)
+    kernel launch. HOST-side: returns python ints (static jit args — call
+    per scene or when n_overflow goes nonzero)."""
+    import numpy as np
+
+    cnt_t, _ = _window_counts(pos, box_size, n_cells, band_cells)
+    maxrun = _window_max_strip_runs(pos, box_size, n_cells, band_cells)
+    occ = cnt_t > 0
+    if not occ.any():
+        return ((8, 8, 8), (8, 8, 8))
+    oc, orun = cnt_t[occ], maxrun[occ]
+
+    def cap(v):
+        return max(8, int(np.ceil(v * slack)))
+
+    t1 = cap(np.quantile(oc, split_quantile))
+    s1 = cap(np.quantile(orun, split_quantile))
+    in1 = (cnt_t <= t1) & (maxrun <= s1) & occ
+    in2 = occ & ~in1
+    t2 = cap(oc.max())
+    s2 = cap(orun.max())
+    if 9 * s2 > max_source_lanes:
+        raise ValueError(
+            f"bucketed tail caps ({t2}, {s2}) need {9 * s2} fused source"
+            f" lanes (> {max_source_lanes}). Use a finer n_cells or the"
+            " compacted layout with a quantile cap."
+        )
+    t2r = _round_up(max(t2, 8), 8)
+    s2r = _round_up(9 * max(s2, 8), LANE)
+    if t2r * s2r > max_block_pair_lanes:
+        raise ValueError(
+            f"bucketed tail block ({t2r} x {s2r}) exceeds"
+            f" {max_block_pair_lanes} pair lanes per program (compile-time"
+            " bound, see packed_layout_for). Use a finer n_cells."
+        )
+
+    def budget(k):
+        return max(8, -(-int(np.ceil(k * block_slack)) // 8) * 8)
+
+    return (
+        (t1, s1, budget(int(in1.sum()))),
+        (t2, s2, budget(int(in2.sum()))),
+    )
+
+
 def packed_caps_for(
     pos,
     box_size: float,
@@ -530,7 +621,7 @@ def packed_caps_for(
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
-                     "max_blocks", "interpret"),
+                     "max_blocks", "buckets", "interpret"),
 )
 def binned_collision_pass(
     pos,  # [N, 3] — binning domain [0, box)^3 (out-of-box clipped to faces)
@@ -545,6 +636,7 @@ def binned_collision_pass(
     band_cells: int | None = None,
     packed_caps: tuple[int, int] | None = None,
     max_blocks: int | None = None,
+    buckets: tuple[tuple[int, int, int], ...] | None = None,
     interpret: bool = False,
 ):
     """One fused collision sweep over the 27-cell neighborhoods.
@@ -583,6 +675,13 @@ def binned_collision_pass(
     packed_layout_for. Uniform scenes should keep max_blocks=None: the
     static whole-grid trace and chunk-fused strips measure faster when
     ~every window is occupied.
+
+    buckets=((t1, s1, m1), (t2, s2, m2), ...) (requires band_cells;
+    excludes packed_caps/max_blocks) switches to the occupancy-BUCKETED
+    compacted layout (_packed_bucketed_blocks): each occupied window runs
+    in the first bucket whose caps cover it, at that bucket's block
+    shape — the bulk of windows stops paying the densest window's cap
+    tail. Size with bucketed_layout_for.
     """
     n = pos.shape[0]
     g = n_cells
@@ -596,6 +695,21 @@ def binned_collision_pass(
 
     par = jnp.asarray([[restitution, friction]], f32)
     pair_ops = 60  # ~VPU ops per pair evaluation
+
+    if buckets is not None:
+        if band_cells is None:
+            raise ValueError("buckets requires band_cells")
+        if packed_caps is not None or max_blocks is not None:
+            raise ValueError(
+                "buckets excludes packed_caps/max_blocks (one layout"
+                " switch at a time)"
+            )
+        out_d, out_e, n_overflow = _packed_bucketed_blocks(
+            feats, par, pos, box_size, g, band_cells, buckets, interpret,
+        )
+        return _epilogue_finish(
+            out_d, out_e, pos, vel, mass, n, n_overflow, cell_too_small
+        )
 
     if max_blocks is not None:
         if packed_caps is None or band_cells is None:
@@ -1073,6 +1187,225 @@ def _packed_compact_blocks(
     return delta, evt, body_slot, n_overflow
 
 
+def _packed_bucketed_blocks(
+    feats,
+    par,
+    pos,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    buckets: tuple[tuple[int, int, int], ...],
+    interpret: bool,
+):
+    """OCCUPANCY-BUCKETED packed layout: each occupied window is assigned
+    to the FIRST bucket whose (t_cap, s_cap) covers its target count and
+    max neighbor-strip run (the last bucket takes every remaining window —
+    overflow counted there); each bucket is one compacted pallas_call at
+    its own caps. Single-tier caps must track the densest window's
+    extreme-value tail, so the bulk of windows pays ~tail/median extra
+    pair lanes; bucketing bounds that cap tax (docs/RESULTS.md
+    "N-scaling") and covers peaked scenes without tail-sized uniform caps.
+
+    Construction: bucket 0 (the bulk) builds the whole-grid guarded-strip
+    table ONCE at its small cap and gathers each selected window's 9
+    strips as whole multi-KB chunks (the fast path on uniform occupancy);
+    later buckets (few windows) gather their neighborhoods directly, row
+    by row (the compacted construction). The symmetric-drop mask (a body
+    dropped from its target role vanishes from ALL buckets' source
+    strips) is GLOBAL across buckets, so cross-bucket pairs see the same
+    conservation rule as a single layout.
+
+    Returns (out_d [n, 8], out_e [n, 8], n_overflow) in BODY order —
+    cross-bucket merged (deltas summed; each body's target slot lives in
+    exactly one bucket, the evt merge is a validity pick).
+    """
+    from nbx.ops.p3m import take_rows
+
+    n = pos.shape[0]
+    g = n_cells
+    b = band_cells
+    n_cols = g * g
+    g3 = n_cols * g
+    n_bands = -(-g // b)
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
+    feats_sorted = jnp.concatenate([feats[order], feats[n:]], axis=0)
+    inv = _invert_order(order, n)
+    neigh = _column_neighbors(g)  # [n_cols, 9]; n_cols = invalid
+
+    cols = jnp.arange(n_cols, dtype=i32)
+    w_r = jnp.arange(n_bands, dtype=i32)
+    ts_tab = starts[cols[:, None] * g + w_r[None, :] * b]
+    te_tab = starts[
+        cols[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+    ]
+    cnt_t = te_tab - ts_tab  # [n_cols, n_bands]
+    lo = jnp.maximum(w_r * b - 1, 0)  # [n_bands] guarded strip cells
+    hi = jnp.minimum(w_r * b + b + 1, g)
+    ss9 = starts[jnp.where(
+        (neigh < n_cols)[:, None, :],
+        neigh[:, None, :] * g + lo[None, :, None], g3,
+    )]  # [n_cols, n_bands, 9]
+    se9 = starts[jnp.where(
+        (neigh < n_cols)[:, None, :],
+        neigh[:, None, :] * g + hi[None, :, None], g3,
+    )]
+    run9 = se9 - ss9
+    maxrun = jnp.max(run9, axis=2)  # [n_cols, n_bands]
+    occ = cnt_t > 0
+
+    # ---- bucket assignment (first covering bucket; last takes the rest) --
+    flags, sels, wranks = [], [], []
+    remaining = occ
+    for bi, (t_cap, s_cap, bmax) in enumerate(buckets):
+        if bi == len(buckets) - 1:
+            fl = remaining
+        else:
+            fl = remaining & (cnt_t <= t_cap) & (maxrun <= s_cap)
+        remaining = remaining & ~fl
+        flf = fl.reshape(-1)
+        wrank = jnp.cumsum(flf.astype(i32)) - 1
+        flags.append(flf)
+        wranks.append(wrank)
+        sels.append(flf & (wrank < bmax))
+
+    # ---- global symmetric-drop mask over sorted positions -----------------
+    p_r = jnp.arange(n, dtype=i32)
+    col_s = cid_sorted // g
+    w_own = (cid_sorted - col_s * g) // b
+    f_own = col_s * n_bands + w_own
+    rank_t = p_r - ts_tab[col_s, w_own]
+    ok_sorted = jnp.zeros((n,), bool)
+    for sel, (t_cap, _, _) in zip(sels, buckets):
+        t_rows = _round_up(max(t_cap, 8), 8)
+        ok_sorted = ok_sorted | (sel[f_own] & (rank_t < t_rows))
+    t_ok = jnp.concatenate([ok_sorted, jnp.zeros((1,), bool)])
+
+    out_d = jnp.zeros((n, 8), f32)
+    out_e = jnp.full((n, 8), DEPTH_SENTINEL, f32)
+    n_overflow = jnp.int32(0)
+    cnt_flat = cnt_t.reshape(-1)
+    for bi, ((t_cap, s_cap, bmax), flf, sel, wrank) in enumerate(
+        zip(buckets, flags, sels, wranks)
+    ):
+        t_rows = _round_up(max(t_cap, 8), 8)
+        s_capw = max(s_cap, 8)
+        s_rows = _round_up(9 * s_capw, LANE)
+        # window-budget drops (whole windows past bmax)
+        n_overflow += jnp.sum(jnp.where(flf & ~sel, cnt_flat, 0))
+        wsel, wvalid = take_rows(sel, bmax)
+        col_sel = wsel // n_bands
+        w_sel = wsel - col_sel * n_bands
+        ts_sel = ts_tab[col_sel, w_sel]
+        cnt_sel = jnp.where(wvalid, cnt_t[col_sel, w_sel], 0)
+        n_overflow += jnp.sum(jnp.maximum(cnt_sel - t_rows, 0))
+        run_sel = jnp.where(wvalid[:, None], run9[col_sel, w_sel], 0)
+        n_overflow += jnp.sum(jnp.maximum(run_sel - s_capw, 0))
+
+        # targets: consecutive-run row gather per selected window
+        ar_t = jnp.arange(t_rows, dtype=i32)
+        valid_t = ar_t[None, :] < jnp.minimum(cnt_sel, t_rows)[:, None]
+        take_t = jnp.minimum(ts_sel[:, None] + ar_t, n)
+        tgt = feats_sorted[jnp.where(valid_t, take_t, n)].reshape(-1, 16)
+
+        ar_s = jnp.arange(s_capw, dtype=i32)
+        if bi == 0:
+            # bulk: whole-grid strips table + whole-strip chunk gathers
+            ss_own = starts[cols[:, None] * g + lo[None, :]]
+            se_own = starts[cols[:, None] * g + hi[None, :]]
+            valid_so = (
+                ar_s[None, None, :]
+                < jnp.minimum(se_own - ss_own, s_capw)[..., None]
+            )
+            take_so = jnp.minimum(ss_own[..., None] + ar_s, n)
+            strips = feats_sorted[
+                jnp.where(valid_so & t_ok[take_so], take_so, n)
+            ]  # [n_cols, n_bands, s_capw, 16]
+            stripsT = strips.transpose(0, 1, 3, 2)
+            dead_strip = jnp.broadcast_to(
+                feats[n][:, None], (1, n_bands, 16, s_capw)
+            )
+            stripsT = jnp.concatenate([stripsT, dead_strip], axis=0)
+            fused = stripsT[neigh[col_sel], w_sel[:, None]]
+            src = fused.transpose(0, 2, 1, 3).reshape(
+                bmax, 16, 9 * s_capw
+            )
+        else:
+            # tail: few windows — direct per-window neighborhood gathers
+            lo_c = jnp.maximum(w_sel * b - 1, 0)
+            hi_c = jnp.minimum(w_sel * b + b + 1, g)
+            neigh_sel = _column_neighbors_of(col_sel, g)
+            okn = neigh_sel < n_cols
+            ss = starts[jnp.where(okn, neigh_sel * g + lo_c[:, None], g3)]
+            se = starts[jnp.where(okn, neigh_sel * g + hi_c[:, None], g3)]
+            valid_s = (
+                ar_s[None, None, :]
+                < jnp.minimum(se - ss, s_capw)[..., None]
+            ) & wvalid[:, None, None]
+            take_s = jnp.minimum(ss[..., None] + ar_s, n)
+            rows = feats_sorted[
+                jnp.where(valid_s & t_ok[take_s], take_s, n)
+            ]  # [bmax, 9, s_capw, 16]
+            src = rows.transpose(0, 3, 1, 2).reshape(bmax, 16, 9 * s_capw)
+        lane_pad = jnp.broadcast_to(
+            feats[n][:, None], (bmax, 16, s_rows - 9 * s_capw)
+        )
+        src = jnp.concatenate([src, lane_pad], axis=2).reshape(-1, s_rows)
+
+        delta, evt = pl.pallas_call(
+            _collide_kernel_fused,
+            grid=(bmax,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=60 * bmax * t_rows * s_rows,
+                bytes_accessed=(bmax * (t_rows * 16 + s_rows * 16
+                                        + t_rows * 16)) * 4,
+                transcendentals=bmax * t_rows * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(par, tgt, src)
+
+        # merge into body order: deltas sum (disjoint slots), evt by pick
+        delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], axis=0)
+        evt_p = jnp.concatenate(
+            [evt, jnp.full((1, 8), DEPTH_SENTINEL, f32)], axis=0
+        )
+        slot_sorted = jnp.where(
+            sel[f_own] & (rank_t < t_rows),
+            wrank[f_own] * t_rows + rank_t,
+            bmax * t_rows,
+        )
+        body_slot = slot_sorted[inv]
+        out_d = out_d + delta_p[body_slot]
+        e_k = evt_p[body_slot]
+        out_e = jnp.where((e_k[:, 0] > out_e[:, 0])[:, None], e_k, out_e)
+
+    return out_d, out_e, n_overflow
+
+
 def _invert_order(order, n):
     """Body id -> sorted position (inverse permutation of cell_sort)."""
     return (
@@ -1104,6 +1437,18 @@ def _collide_epilogue(
     slot = jnp.clip(body_slot, 0, m)
     out_d = delta_p[slot]
     out_e = evt_p[slot]
+    return _epilogue_finish(
+        out_d, out_e, pos, vel, mass, n, n_overflow, cell_too_small
+    )
+
+
+def _epilogue_finish(
+    out_d, out_e, pos, vel, mass, n, n_overflow, cell_too_small
+):
+    """Final epilogue step shared by every layout: split the per-body
+    delta rows and rebuild the deepest-partner record (see
+    _collide_epilogue for why the recompute is O(N) gathers)."""
+    f32 = jnp.float32
     dvel = out_d[:n, 0:3]
     dpos = out_d[:n, 3:6]
     dtemp = out_d[:n, 6]

@@ -625,3 +625,85 @@ def test_scaled_vs_dense_semantics_divergence():
     # whether they merge — and total mass — does not)
     lo, hi = sorted([tot_d["n_merges"], tot_s["n_merges"]])
     assert hi <= 3 * lo, (tot_d, tot_s)
+
+
+def _clustered_scene(n=192, seed=7):
+    """Uniform background + a dense clump: occupancy varies enough that
+    bucketed_layout_for puts windows in BOTH buckets."""
+    rng = np.random.default_rng(seed)
+    n_bg = n * 2 // 3
+    bg = rng.uniform(10, 90, (n_bg, 3))
+    clump = rng.normal(35.0, 2.5, (n - n_bg, 3))
+    pos = np.clip(np.concatenate([bg, clump]), 1.0, 99.0).astype(np.float32)
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    mass = rng.uniform(2.0, 8.0, n).astype(np.float32)
+    return jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass)
+
+
+def test_bucketed_matches_packed():
+    """Occupancy-bucketed layout == whole-grid packed layout when both
+    cover the scene (same partners/bounces; deltas to fp tolerance),
+    with both buckets actually populated."""
+    from nbx.ops.collide import bucketed_layout_for
+
+    pos, vel, mass = _clustered_scene()
+    radius = _radius(mass) * 2.0
+    buckets = bucketed_layout_for(pos, BOX, 8, 4, split_quantile=0.6)
+    assert len(buckets) == 2
+    (t1, s1, m1), (t2, s2, m2) = buckets
+    assert t2 >= t1 and s2 >= s1
+    base = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=8, band_cells=4,
+        packed_caps=(t2, s2), interpret=True,
+    )
+    buck = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=8, band_cells=4,
+        buckets=buckets, interpret=True,
+    )
+    dv0, dp0, dt0, best0, nb0, ovf0, _ = base
+    dv1, dp1, dt1, best1, nb1, ovf1, _ = buck
+    assert int(nb1) == int(nb0) > 0
+    assert int(ovf1) == int(ovf0) == 0
+    np.testing.assert_array_equal(np.asarray(best1["j"]),
+                                  np.asarray(best0["j"]))
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv0),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dt1), np.asarray(dt0),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_bucketed_budget_overflow_is_symmetric():
+    """Windows past a bucket's block budget drop from BOTH roles (the
+    global symmetric-drop mask): overflow is counted and surviving
+    impulses conserve momentum."""
+    pos, vel, mass = _clustered_scene(seed=8)
+    radius = _radius(mass) * 2.5
+    out = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=8, band_cells=4,
+        buckets=((24, 64, 8), (128, 256, 8)),  # tiny budgets
+        interpret=True,
+    )
+    dvel, dpos, dtemp, best, nb, ovf, _ = out
+    assert int(ovf) > 0  # counted, not silent
+    p = np.asarray(jnp.sum(mass[:, None] * dvel, axis=0))
+    np.testing.assert_allclose(p, 0.0, atol=1e-4)
+
+
+def test_bucketed_full_loop_runs():
+    """granular_full_kdk_scan accepts buckets= end to end (events fire)."""
+    from nbx.ops.collide import bucketed_layout_for
+
+    pos, vel, mass = _clustered_scene(seed=9)
+    st0 = make_granular_state(pos, vel, mass, key=2)
+    cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.02,
+                    fracture_threshold=4.0)
+    buckets = bucketed_layout_for(pos, BOX, 8, 4, split_quantile=0.6)
+    st, totals = granular_full_kdk_scan(
+        st0, cfg, BOX, n_steps=6, n_cells=8, band_cells=4,
+        buckets=buckets, force_impl="dense", interpret=True,
+    )
+    assert np.isfinite(np.asarray(st.pos)).all()
+    assert int(totals["n_bounces"]) > 0
+    assert int(totals["n_overflow"]) == 0

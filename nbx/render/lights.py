@@ -90,9 +90,13 @@ def splat_light_glow(
     cam,
     width: int = 640,
     height: int = 360,
+    depth: jax.Array | None = None,  # [H, W] impostor z-buffer
 ) -> jax.Array:
     """Additive Gaussian flare per live light — the visible after-glow the
-    reference gets from the bloomed point light (decays with the pool)."""
+    reference gets from the bloomed point light (decays with the pool).
+    With `depth`, pixels whose opaque surface is in front of the light are
+    masked (a flash behind a planet doesn't glow through the disc; the
+    planet it LIGHTS still brightens via body_light_gain)."""
     from nbx.render.splat import project
 
     px, py, z = project(cam, lights.pos, width, height)
@@ -103,11 +107,13 @@ def splat_light_glow(
     color = jnp.asarray(COLOR, jnp.float32)
 
     def one(img, args):
-        cx, cy, ii = args
+        cx, cy, ii, zz = args
         g = ii * jnp.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2))
+        if depth is not None:
+            g = jnp.where(zz <= depth, g, 0.0)
         return img + g[:, :, None] * color, None
 
-    img_hdr, _ = jax.lax.scan(one, img_hdr, (px, py, inten))
+    img_hdr, _ = jax.lax.scan(one, img_hdr, (px, py, inten, z))
     return img_hdr
 
 

@@ -176,11 +176,12 @@ def render_and_advance(
     hdr = particles_mod.splat_particles(hdr, parts, cam, width=width,
                                         height=height, depth=depth)
 
-    # Visual approximation: additive passes depth-test only the splat CENTER
-    # pixel against the impostor z-buffer, and flash glows skip the test —
-    # wide footprints can bleed across an occluding planet's disc edge.
+    # Depth discipline: 5x5 splats test their CENTER pixel (footprint stays
+    # within the body's own disc); the 11x11 tier and the flash glows test
+    # PER PIXEL, so wide footprints no longer bleed across an occluding
+    # planet's disc edge.
     hdr = lights_mod.splat_light_glow(hdr, lights, cam, width=width,
-                                      height=height)
+                                      height=height, depth=depth)
     if use_bloom:
         hdr = bloom(hdr, bloom_strength, bloom_threshold)
 

@@ -269,6 +269,12 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     ys = jnp.broadcast_to(y0b[:, None, None] + dyy, tapshape).reshape(-1)
     xs = jnp.broadcast_to(x0b[:, None, None] + dxx, tapshape).reshape(-1)
     vals = (rgbb[:, None, None, :] * wb[..., None]).reshape(-1, 3)
+    if depth is not None:
+        # per-TAP z-test: the wide footprint must not bleed across an
+        # occluding planet's disc edge (the 5x5 tier keeps the cheaper
+        # center-pixel test — its footprint is within the splat's own disc)
+        zb = jnp.broadcast_to(z[idx_b][:, None, None], tapshape).reshape(-1)
+        vals = jnp.where((zb <= depth[ys, xs])[:, None], vals, 0.0)
     img = img.at[ys, xs].add(vals, mode="drop")
     return img
 
@@ -282,10 +288,14 @@ def add_flashes(
     cam: Camera,
     width: int = 640,
     height: int = 360,
+    depth: jax.Array | None = None,  # [H, W] impostor z-buffer
 ) -> jax.Array:
     """Additive Gaussian flash blobs — the splat analog of triggerFlash's
     transient point light (intensity min(0.2 E, 15), color 0xffaa00,
-    index.html:619-626)."""
+    index.html:619-626). With `depth`, pixels whose opaque surface is in
+    front of the flash are masked, so a flash behind a planet doesn't
+    glow through its disc (the persistent LIGHTING of nearby bodies is
+    separate — nbx.render.lights)."""
     h, w = img_hdr.shape[:2]
     px, py, z = project(cam, flash_pos, width, height)
     inten = jnp.where(
@@ -297,11 +307,13 @@ def add_flashes(
     color = jnp.array([1.0, 0.666, 0.0], jnp.float32)  # 0xffaa00
 
     def one(img, args):
-        cx, cy, ii = args
+        cx, cy, ii, zz = args
         g = ii * jnp.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2))
+        if depth is not None:
+            g = jnp.where(zz <= depth, g, 0.0)
         return img + g[:, :, None] * color, None
 
-    img_hdr, _ = jax.lax.scan(one, img_hdr, (px, py, inten))
+    img_hdr, _ = jax.lax.scan(one, img_hdr, (px, py, inten, z))
     return img_hdr
 
 

@@ -245,3 +245,64 @@ def test_merge_flash_decays_over_frames():
     mid = np.asarray(img0)[38:52, 72:88].sum()
     mid_late = np.asarray(img)[38:52, 72:88].sum()
     assert mid > mid_late > 0
+
+
+def test_light_glow_depth_occluded():
+    """A flash glow behind an opaque surface is masked at occluded pixels
+    (per-pixel z-test); in front of it, it glows (index.html:619-626 gets
+    this from the WebGL z-buffer)."""
+    from nbx.render import lights as lmod
+
+    cam = Camera.default()
+    h, w = 90, 160
+    li = lmod.LightState.create(pool=4)
+    # one light at the origin plane
+    li = lmod.advance(li, jnp.zeros((1, 3)), jnp.asarray([75.0]),
+                      jnp.asarray([True]))
+    img0 = jnp.zeros((h, w, 3), jnp.float32)
+    free = lmod.splat_light_glow(img0, li, cam, width=w, height=h)
+    assert float(free.sum()) > 0.0
+
+    # an opaque surface EVERYWHERE in front of the light kills the glow...
+    near = jnp.zeros((h, w), jnp.float32)
+    behind = lmod.splat_light_glow(img0, li, cam, width=w, height=h,
+                                   depth=near)
+    assert float(behind.sum()) == 0.0
+    # ...and a surface behind it leaves the glow intact
+    far = jnp.full((h, w), jnp.inf, jnp.float32)
+    front = lmod.splat_light_glow(img0, li, cam, width=w, height=h,
+                                  depth=far)
+    np.testing.assert_allclose(np.asarray(front), np.asarray(free))
+
+
+def test_big_splat_tap_depth_test():
+    """The 11x11 splat tier z-tests every tap: an occluder plane covering
+    only HALF the window kills exactly the occluded taps' energy."""
+    from nbx.config import default_materials
+    from nbx.render.splat import _splat_bodies, project
+
+    cam = Camera.default()
+    h, w = 90, 160
+    mats = default_materials()
+    c1, c2 = mats.color1, mats.color2
+    pos = jnp.zeros((1, 3), jnp.float32)
+    radius = jnp.asarray([6.0])  # big apparent radius -> 11x11 tier
+    temp = jnp.zeros((1,))
+    mat = jnp.zeros((1,), jnp.int32)
+    alive = jnp.asarray([True])
+
+    free = _splat_bodies(pos, radius, temp, mat, alive, c1, c2, cam,
+                         width=w, height=h)
+    px, py, z = project(cam, pos, w, h)
+    x0 = int(np.round(float(px[0])))
+    # occluder in front, covering columns right of the center
+    depth = jnp.full((h, w), jnp.inf, jnp.float32)
+    depth = depth.at[:, x0 + 1:].set(float(z[0]) - 1.0)
+    half = _splat_bodies(pos, radius, temp, mat, alive, c1, c2, cam,
+                         width=w, height=h, depth=depth)
+    left = np.asarray(half[:, :x0 + 1]).sum()
+    right = np.asarray(half[:, x0 + 1:]).sum()
+    assert right == 0.0  # occluded side fully culled
+    np.testing.assert_allclose(
+        left, np.asarray(free[:, :x0 + 1]).sum(), rtol=1e-6
+    )

@@ -1693,27 +1693,32 @@ def epilogue_rows(delta, evt, body_slot):
 
 
 def cell_sort_slabgrid(pos, alive, box_size: float, n_cells: int,
-                       x0_cell, gx: int):
-    """cell_sort over a LOCAL x-slab grid [gx, g, g] whose x origin is the
+                       x0_cell, gx: int, y0_cell=0, gy: int | None = None):
+    """cell_sort over a LOCAL slab grid [gx, gy, g] whose x origin is the
     global cell layer x0_cell (TRACED — per-chip axis_index arithmetic):
     local lx = clip-to-box(global cx) - x0_cell, y/z as in cell_sort.
-    Rows with lx outside [0, gx) or alive=False map to the overflow cell
-    gx*g*g — parked at the END of the sort, never targeted or sourced.
-    (Dead slots are parked deliberately, unlike the whole-grid sort where
-    they occupy real cells: the halo-exchange step reuses slots freely and
-    corpses must not eat window caps.)
+    With gy (default: the full g), the y axis is likewise a local window
+    at traced origin y0_cell — the 2D (x, y) slab decomposition. Rows
+    with lx/ly outside the local grid or alive=False map to the overflow
+    cell gx*gy*g — parked at the END of the sort, never targeted or
+    sourced. (Dead slots are parked deliberately, unlike the whole-grid
+    sort where they occupy real cells: the halo-exchange step reuses
+    slots freely and corpses must not eat window caps.)
 
-    Returns (order [N] i32, starts [gx*g*g + 1] i32, cid_sorted [N] i32).
+    Returns (order [N] i32, starts [gx*gy*g + 1] i32, cid_sorted [N] i32).
     """
     n = pos.shape[0]
     g = n_cells
+    if gy is None:
+        gy = g
     h = box_size / g
     ijk = jnp.clip((pos / h).astype(jnp.int32), 0, g - 1)
     lx = ijk[:, 0] - jnp.asarray(x0_cell, jnp.int32)
-    n_cells_loc = gx * g * g
+    ly = ijk[:, 1] - jnp.asarray(y0_cell, jnp.int32)
+    n_cells_loc = gx * gy * g
     cid = jnp.where(
-        alive & (lx >= 0) & (lx < gx),
-        (lx * g + ijk[:, 1]) * g + ijk[:, 2],
+        alive & (lx >= 0) & (lx < gx) & (ly >= 0) & (ly < gy),
+        (lx * gy + ly) * g + ijk[:, 2],
         n_cells_loc,
     )
     order = jnp.argsort(cid).astype(jnp.int32)
@@ -1756,6 +1761,9 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     x0_cell,  # global x cell layer of LOCAL layer 0 (= slab_lo - 1) — TRACED
     slab_x: int,  # owned x layers (static); local grid is [slab_x + 2, g, g]
     interpret: bool = False,
+    y0_cell=0,  # with slab_y: global y layer of LOCAL y 0 — TRACED
+    slab_y: int | None = None,  # owned y layers (static): 2D slab grid
+    #   [slab_x + 2, slab_y + 2, g]; None = the y axis stays whole (1D)
 ):
     """Band-packed layout + fused kernel over a LOCAL slab grid — the
     per-chip building block of the HALO-EXCHANGE sharded granular step
@@ -1765,9 +1773,14 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     x-halo rows ([nl + 2H] arrays, any order) and bins them into a
     [slab_x + 2, g, g] local grid: global x cell layer x0_cell maps to
     local layer 0 (the left halo layer), owned layers are [1, slab_x + 1),
-    layer slab_x + 1 is the right halo. TARGET windows cover only the
-    owned layers' columns; source strips cover ALL local columns, so
-    owned targets see their +-1-x neighbors through the halo rows. Every
+    layer slab_x + 1 is the right halo. With slab_y, the y axis is ALSO a
+    local window ([slab_x + 2, slab_y + 2, g] grid at traced origin
+    (x0_cell, y0_cell)) — the 2D slab decomposition for meshes wider than
+    the grid's x layer count; the caller's halo rows must then cover both
+    boundary x-layers and boundary y-layers INCLUDING the diagonal
+    corners. TARGET windows cover only the owned layers' columns; source
+    strips cover ALL local columns, so owned targets see their +-1
+    neighbors through the halo rows. Every
     table index is static (the traced offset only shifts per-body cell
     ids), so the construction compiles like the single-chip packed trace
     scaled to ~slab_x/g of the grid — per-chip memory O(nl + halo), no
@@ -1792,13 +1805,16 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     b = band_cells
     w_x = slab_x
     gx = w_x + 2
+    two_d = slab_y is not None
+    w_y = slab_y if two_d else g
+    gy = w_y + 2 if two_d else g
     t_cap, s_cap = packed_caps
     n_bands = -(-g // b)
     t_rows = _round_up(max(t_cap, 8), 8)
     s_capw = max(s_cap, 8)
     s_rows = _round_up(9 * s_capw, LANE)
-    n_cols_loc = gx * g
-    n_cols_own = w_x * g
+    n_cols_loc = gx * gy
+    n_cols_own = w_x * w_y
     n_tblocks = n_cols_own * n_bands
     i32 = jnp.int32
     f32 = jnp.float32
@@ -1806,12 +1822,20 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     feats = _body_feats(pos, vel, mass, radius, box_size)
     par = jnp.asarray([[restitution, friction]], f32)
     order, starts, cid_sorted = cell_sort_slabgrid(
-        pos, mass > 0.0, box_size, g, x0_cell, gx
+        pos, mass > 0.0, box_size, g, x0_cell, gx,
+        y0_cell if two_d else 0, gy,
     )
     feats_sorted = jnp.concatenate([feats[order], feats[n:]], axis=0)
 
-    # ---- window tables: targets over OWNED columns [g, g + w_x*g) --------
-    cols_own = g + jnp.arange(n_cols_own, dtype=i32)
+    # ---- window tables: targets over OWNED columns ------------------------
+    # 1D: x layers [1, w_x + 1), all y — ids [gy, gy + w_x*gy) contiguous.
+    # 2D: x layers [1, w_x + 1) AND y layers [1, w_y + 1).
+    if two_d:
+        ox = 1 + jnp.arange(w_x, dtype=i32)
+        oy = 1 + jnp.arange(w_y, dtype=i32)
+        cols_own = (ox[:, None] * gy + oy[None, :]).reshape(-1)
+    else:
+        cols_own = gy + jnp.arange(n_cols_own, dtype=i32)
     w_r = jnp.arange(n_bands, dtype=i32)
     ts_tab = starts[cols_own[:, None] * g + w_r[None, :] * b]
     te_tab = starts[
@@ -1829,7 +1853,12 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     # source overflow counted over OWNED columns only: each boundary
     # window is owned by exactly one chip, so per-chip psums add up to a
     # whole-grid count without double-counting halo copies
-    own_rows = jax.lax.slice_in_dim(se_tab - ss_tab, g, g + n_cols_own, 1, 0)
+    if two_d:
+        own_rows = (se_tab - ss_tab)[cols_own]
+    else:
+        own_rows = jax.lax.slice_in_dim(
+            se_tab - ss_tab, gy, gy + n_cols_own, 1, 0
+        )
     n_s_over = jnp.sum(jnp.maximum(own_rows - s_capw, 0))
     n_overflow = n_t_over + n_s_over
 
@@ -1844,8 +1873,18 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     p_r = jnp.arange(n, dtype=i32)
     col_s = cid_sorted // g  # n_cols_loc for overflow-parked rows
     w_own = jnp.minimum(cid_sorted - col_s * g, g - 1) // b
-    owned = (col_s >= g) & (col_s < g + n_cols_own)
-    col_rel = jnp.clip(col_s - g, 0, n_cols_own - 1)
+    if two_d:
+        cxl = col_s // gy
+        cyl = col_s - cxl * gy
+        owned = (
+            (cxl >= 1) & (cxl < w_x + 1) & (cyl >= 1) & (cyl < w_y + 1)
+        )
+        col_rel = jnp.clip(
+            (cxl - 1) * w_y + (cyl - 1), 0, n_cols_own - 1
+        )
+    else:
+        owned = (col_s >= gy) & (col_s < gy + n_cols_own)
+        col_rel = jnp.clip(col_s - gy, 0, n_cols_own - 1)
     rank_t = p_r - ts_tab[col_rel, w_own]
     slot_sorted = jnp.where(
         owned & (rank_t < t_rows),
@@ -1876,7 +1915,7 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
         feats[n][:, None], (1, n_bands, 16, s_capw)
     )
     stripsT = jnp.concatenate([stripsT, dead_strip], axis=0)
-    neigh = _column_neighbors_rect(gx, g)[g:g + n_cols_own]  # [own, 9]
+    neigh = _column_neighbors_rect(gx, gy)[cols_own]  # [own, 9]
     fused = stripsT[neigh]  # [own, 9, n_bands, 16, s_capw]
     fused = fused.transpose(0, 2, 3, 1, 4).reshape(
         n_cols_own, n_bands, 16, 9 * s_capw

@@ -12,7 +12,10 @@ the distributed-memory design ROADMAP 4c names as the remaining step:
     slab d, in a fixed-capacity [nl] slot array (dead slots mass 0). A
     persistent per-body `uid` carries identity across chips — contact
     timers key on partner uid, not slot index (slot indices change on
-    every migration).
+    every migration). A TWO-axis mesh ("bx", "by") splits x AND y layers
+    into a (d_x, d_y) grid of slabs — the decomposition for meshes wider
+    than g x-layers; every protocol phase then runs per axis, x first,
+    with corner traffic riding two hops (see make_spatial_granular_step).
   * MIGRATION, not all-gather: after the drift, bodies that left the slab
     ship to the +-1 x-neighbor chip through fixed-cap ppermute buffers
     (mig_cap rows/side) and land in dead slots. Bodies headed further than
@@ -96,6 +99,29 @@ class SpatialState(NamedTuple):
     uid_next: jax.Array  # [] i32 (replicated)
 
 
+def _mesh_split(mesh: Mesh, n_cells: int):
+    """(two_d, ax_x, ax_y, d_x, d_y, w_x, w_y) for a 1-axis or 2-axis mesh.
+
+    A 1-axis mesh splits the grid's g x-layers into d_x slabs (w_y = g).
+    A 2-axis mesh ("bx", "by") splits x AND y layers — the decomposition
+    for meshes wider than g x-layers (ROADMAP 4d)."""
+    axes = mesh.axis_names
+    g = n_cells
+    if len(axes) == 1:
+        d = mesh.devices.size
+        if g % d:
+            raise ValueError(f"n_cells={g} must divide over {d} devices")
+        return False, axes[0], None, d, 1, g // d, g
+    if len(axes) != 2:
+        raise ValueError(f"spatial step wants a 1- or 2-axis mesh: {axes}")
+    d_x, d_y = mesh.devices.shape
+    if g % d_x or g % d_y:
+        raise ValueError(
+            f"n_cells={g} must divide over the ({d_x}, {d_y}) mesh"
+        )
+    return True, axes[0], axes[1], d_x, d_y, g // d_x, g // d_y
+
+
 def spatial_state_for(
     mesh: Mesh,
     pos,
@@ -119,9 +145,7 @@ def spatial_state_for(
 
     d = mesh.devices.size
     g = n_cells
-    if g % d:
-        raise ValueError(f"n_cells={g} must divide over {d} devices")
-    w = g // d
+    two_d, _, _, d_x, d_y, w_x, w_y = _mesh_split(mesh, g)
     pos = np.asarray(pos, np.float32)
     vel = np.asarray(vel, np.float32)
     mass = np.asarray(mass, np.float32)
@@ -135,7 +159,10 @@ def spatial_state_for(
     mat, temp = mat[keep], temp[keep]
     cell = box_size / g
     cx = np.clip((pos[:, 0] / cell).astype(np.int64), 0, g - 1)
-    dest = np.clip(cx // w, 0, d - 1)
+    dest = np.clip(cx // w_x, 0, d_x - 1) * d_y
+    if two_d:
+        cy = np.clip((pos[:, 1] / cell).astype(np.int64), 0, g - 1)
+        dest = dest + np.clip(cy // w_y, 0, d_y - 1)
     counts = np.bincount(dest, minlength=d)
     if nl is None:
         nl = max(8, int(np.ceil(counts.max() * slack / 8)) * 8)
@@ -162,8 +189,9 @@ def spatial_state_for(
         MT[sl] = mat[rows]
         T[sl] = temp[rows]
         U[sl] = uid0[rows]
-    s3 = NamedSharding(mesh, P("b", None))
-    s1 = NamedSharding(mesh, P("b"))
+    row = mesh.axis_names if two_d else mesh.axis_names[0]
+    s3 = NamedSharding(mesh, P(row, None))
+    s1 = NamedSharding(mesh, P(row))
     sr = NamedSharding(mesh, P())
     put = jax.device_put
     return SpatialState(
@@ -195,6 +223,21 @@ def make_spatial_granular_step(
 ):
     """Build the halo-exchange sharded granular step (module docstring).
 
+    The mesh may have ONE axis (x-slab ownership, the round-3 design) or
+    TWO axes ("bx", "by": 2D (x, y)-slab ownership — the decomposition
+    for meshes wider than the grid's g x-layers, ROADMAP 4d). In 2D the
+    protocol runs its 1D phases per axis, x first:
+
+      * migration hops x then y WITHIN one step, so a diagonal mover
+        lands in one step (via the x-neighbor's slot array);
+      * the halo exchange forwards corner bodies: phase y selects its
+        boundary-y rows from own slots AND the just-received x-halo, so
+        a diagonal neighbor's corner cell arrives in two hops;
+      * the decision exchange reuses the same selections (the x-halo's
+        decision rows arrive before phase y sends them onward);
+      * fracture-accept kill flags retrace the route: y-returns that land
+        on a forwarded x-halo row are OR-ed into the x-return.
+
     Returns jitted (state: SpatialState, h, key) -> (state, counters);
     counters = the collisions_scaled scalar set (n_bounces/n_merges/
     n_fractures/n_overflow/n_dropped/cell_too_small) plus the spatial
@@ -202,13 +245,11 @@ def make_spatial_granular_step(
     n_halo_over (boundary bodies past halo_cap — potentially missed
     cross-boundary contacts), in_transit (bodies between slabs this
     step). key must be fresh per step (fold_in) and identical across
-    chips; fragment streams fold the chip index on top.
+    chips; fragment streams fold the linear chip index on top.
     """
-    n_dev = mesh.devices.size
     g = n_cells
-    if g % n_dev:
-        raise ValueError(f"n_cells={g} must divide over {n_dev} devices")
-    w_x = g // n_dev
+    two_d, ax_x, ax_y, d_x, d_y, w_x, w_y = _mesh_split(mesh, g)
+    n_dev = mesh.devices.size
     if force_impl not in ("pm", "zero"):
         raise ValueError(
             "spatial step supports force_impl 'pm' | 'zero' (direct-sum "
@@ -223,105 +264,174 @@ def make_spatial_granular_step(
     i32 = jnp.int32
     H = halo_cap
     M = mig_cap
-    perm_r = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    perm_l = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    AXES = tuple(mesh.axis_names)
+    row = AXES if two_d else ax_x
+    perm_xr = [(i, (i + 1) % d_x) for i in range(d_x)]
+    perm_xl = [(i, (i - 1) % d_x) for i in range(d_x)]
+    perm_yr = [(i, (i + 1) % d_y) for i in range(d_y)]
+    perm_yl = [(i, (i - 1) % d_y) for i in range(d_y)]
+    n_halo = 4 * H if two_d else 2 * H  # kernel halo rows
 
-    def _send(rows_f, rows_i, idx, valid, perm):
+    def _send(rows_f, rows_i, idx, valid, perm, ax):
         """Gather payload rows at idx (invalid -> zeros/-1) and ppermute."""
         pf = jnp.where(valid[:, None], rows_f[idx], 0.0)
         pi = jnp.where(valid[:, None], rows_i[idx], -1)
         return (
-            jax.lax.ppermute(pf, "b", perm),
-            jax.lax.ppermute(pi, "b", perm),
+            jax.lax.ppermute(pf, ax, perm),
+            jax.lax.ppermute(pi, ax, perm),
         )
 
     @jax.jit
     def step(state: SpatialState, h, key):
         def local(pos, vel, acc, mass, mat, temp, uid, p_uid, ct, uid_next):
             nl = pos.shape[0]
-            me = jax.lax.axis_index("b").astype(i32)
+            me_x = jax.lax.axis_index(ax_x).astype(i32)
+            me_y = (jax.lax.axis_index(ax_y).astype(i32) if two_d
+                    else jnp.int32(0))
+            me_lin = me_x * d_y + me_y
             rows = jnp.arange(nl, dtype=i32)
 
             # ---- KDK first half ------------------------------------------
             vel = vel + acc * (0.5 * h)
             pos = pos + vel * h
 
-            # ---- migration (one slab hop per step) -----------------------
-            alive = mass > 0.0
-            cx = jnp.clip((pos[:, 0] / cell).astype(i32), 0, g - 1)
-            dest = jnp.clip(cx // w_x, 0, n_dev - 1)
-            go_r = alive & (dest > me)
-            go_l = alive & (dest < me)
-            idx_r, v_r = take_rows(go_r, M)
-            idx_l, v_l = take_rows(go_l, M)
-            n_mig_wait = jax.lax.psum(
-                jnp.sum(go_r.astype(i32)) - jnp.sum(v_r.astype(i32))
-                + jnp.sum(go_l.astype(i32)) - jnp.sum(v_l.astype(i32)),
-                "b",
-            )
-            mig_f = jnp.concatenate(
-                [pos, vel, mass[:, None], temp[:, None], ct[:, None]], axis=1
-            )  # [nl, 9]
-            mig_i = jnp.stack([mat, uid, p_uid], axis=1)  # [nl, 3]
-            rf_l, ri_l = _send(mig_f, mig_i, idx_r, v_r, perm_r)  # from left
-            rf_r, ri_r = _send(mig_f, mig_i, idx_l, v_l, perm_l)  # from right
-            # kill the sent rows
-            sent = jnp.zeros((nl,), bool)
-            sent = sent.at[jnp.where(v_r, idx_r, nl)].set(True, mode="drop")
-            sent = sent.at[jnp.where(v_l, idx_l, nl)].set(True, mode="drop")
-            mass = jnp.where(sent, 0.0, mass)
-            uid = jnp.where(sent, -1, uid)
-            # place arrivals into dead slots (rank-scatter)
-            arr_f = jnp.concatenate([rf_l, rf_r], axis=0)  # [2M, 9]
-            arr_i = jnp.concatenate([ri_l, ri_r], axis=0)  # [2M, 3]
-            ok = (arr_i[:, 1] >= 0) & (arr_f[:, 6] > 0.0)
-            dead = mass <= 0.0
-            drank = jnp.cumsum(dead.astype(i32)) - 1
-            slot_of = jnp.full((2 * M,), nl, i32).at[
-                jnp.where(dead & (drank < 2 * M), drank, 2 * M)
-            ].set(rows, mode="drop")
-            rrank = jnp.cumsum(ok.astype(i32)) - 1
-            slot = jnp.where(ok, slot_of[jnp.clip(rrank, 0, 2 * M - 1)], nl)
-            placed = ok & (slot < nl)
-            slot = jnp.where(placed, slot, nl)
-            n_mig_drop = jax.lax.psum(
-                jnp.sum(ok.astype(i32)) - jnp.sum(placed.astype(i32)), "b"
-            )
-            pos = pos.at[slot].set(arr_f[:, 0:3], mode="drop")
-            vel = vel.at[slot].set(arr_f[:, 3:6], mode="drop")
-            mass = mass.at[slot].set(arr_f[:, 6], mode="drop")
-            temp = temp.at[slot].set(arr_f[:, 7], mode="drop")
-            ct = ct.at[slot].set(arr_f[:, 8], mode="drop")
-            mat = mat.at[slot].set(arr_i[:, 0], mode="drop")
-            uid = uid.at[slot].set(arr_i[:, 1], mode="drop")
-            p_uid = p_uid.at[slot].set(arr_i[:, 2], mode="drop")
+            # ---- migration (one +-1 hop per AXIS per step; x then y) -----
+            def migrate(pos, vel, mass, mat, temp, uid, p_uid, ct,
+                        coord, me, w, d_ax, perm_r, perm_l, ax):
+                alive = mass > 0.0
+                c = jnp.clip((pos[:, coord] / cell).astype(i32), 0, g - 1)
+                dest = jnp.clip(c // w, 0, d_ax - 1)
+                go_r = alive & (dest > me)
+                go_l = alive & (dest < me)
+                idx_r, v_r = take_rows(go_r, M)
+                idx_l, v_l = take_rows(go_l, M)
+                wait = (
+                    jnp.sum(go_r.astype(i32)) - jnp.sum(v_r.astype(i32))
+                    + jnp.sum(go_l.astype(i32)) - jnp.sum(v_l.astype(i32))
+                )
+                mig_f = jnp.concatenate(
+                    [pos, vel, mass[:, None], temp[:, None], ct[:, None]],
+                    axis=1,
+                )  # [nl, 9]
+                mig_i = jnp.stack([mat, uid, p_uid], axis=1)  # [nl, 3]
+                rf_l, ri_l = _send(mig_f, mig_i, idx_r, v_r, perm_r, ax)
+                rf_r, ri_r = _send(mig_f, mig_i, idx_l, v_l, perm_l, ax)
+                # kill the sent rows
+                sent = jnp.zeros((nl,), bool)
+                sent = sent.at[jnp.where(v_r, idx_r, nl)].set(
+                    True, mode="drop")
+                sent = sent.at[jnp.where(v_l, idx_l, nl)].set(
+                    True, mode="drop")
+                mass = jnp.where(sent, 0.0, mass)
+                uid = jnp.where(sent, -1, uid)
+                # place arrivals into dead slots (rank-scatter)
+                arr_f = jnp.concatenate([rf_l, rf_r], axis=0)  # [2M, 9]
+                arr_i = jnp.concatenate([ri_l, ri_r], axis=0)  # [2M, 3]
+                ok = (arr_i[:, 1] >= 0) & (arr_f[:, 6] > 0.0)
+                dead = mass <= 0.0
+                drank = jnp.cumsum(dead.astype(i32)) - 1
+                slot_of = jnp.full((2 * M,), nl, i32).at[
+                    jnp.where(dead & (drank < 2 * M), drank, 2 * M)
+                ].set(rows, mode="drop")
+                rrank = jnp.cumsum(ok.astype(i32)) - 1
+                slot = jnp.where(
+                    ok, slot_of[jnp.clip(rrank, 0, 2 * M - 1)], nl)
+                placed = ok & (slot < nl)
+                slot = jnp.where(placed, slot, nl)
+                drop = jnp.sum(ok.astype(i32)) - jnp.sum(placed.astype(i32))
+                pos = pos.at[slot].set(arr_f[:, 0:3], mode="drop")
+                vel = vel.at[slot].set(arr_f[:, 3:6], mode="drop")
+                mass = mass.at[slot].set(arr_f[:, 6], mode="drop")
+                temp = temp.at[slot].set(arr_f[:, 7], mode="drop")
+                ct = ct.at[slot].set(arr_f[:, 8], mode="drop")
+                mat = mat.at[slot].set(arr_i[:, 0], mode="drop")
+                uid = uid.at[slot].set(arr_i[:, 1], mode="drop")
+                p_uid = p_uid.at[slot].set(arr_i[:, 2], mode="drop")
+                return (pos, vel, mass, mat, temp, uid, p_uid, ct,
+                        wait, drop)
 
-            # ---- halo exchange 1: boundary x-cell layers -----------------
+            (pos, vel, mass, mat, temp, uid, p_uid, ct, wait_t, drop_t) = (
+                migrate(pos, vel, mass, mat, temp, uid, p_uid, ct,
+                        0, me_x, w_x, d_x, perm_xr, perm_xl, ax_x)
+            )
+            if two_d:
+                (pos, vel, mass, mat, temp, uid, p_uid, ct, w2, dr2) = (
+                    migrate(pos, vel, mass, mat, temp, uid, p_uid, ct,
+                            1, me_y, w_y, d_y, perm_yr, perm_yl, ax_y)
+                )
+                wait_t = wait_t + w2
+                drop_t = drop_t + dr2
+            n_mig_wait = jax.lax.psum(wait_t, AXES)
+            n_mig_drop = jax.lax.psum(drop_t, AXES)
+
+            # ---- halo exchange 1: boundary cell layers -------------------
             alive = mass > 0.0
             cx = jnp.clip((pos[:, 0] / cell).astype(i32), 0, g - 1)
-            in_transit = alive & (jnp.clip(cx // w_x, 0, n_dev - 1) != me)
-            n_transit = jax.lax.psum(jnp.sum(in_transit.astype(i32)), "b")
-            lay_l = alive & ~in_transit & (cx == me * w_x)
-            lay_r = alive & ~in_transit & (cx == (me + 1) * w_x - 1)
+            transit = jnp.clip(cx // w_x, 0, d_x - 1) != me_x
+            if two_d:
+                cy = jnp.clip((pos[:, 1] / cell).astype(i32), 0, g - 1)
+                transit = transit | (
+                    jnp.clip(cy // w_y, 0, d_y - 1) != me_y
+                )
+            in_transit = alive & transit
+            n_transit = jax.lax.psum(jnp.sum(in_transit.astype(i32)), AXES)
+            settled = alive & ~in_transit
+            lay_l = settled & (cx == me_x * w_x)
+            lay_r = settled & (cx == (me_x + 1) * w_x - 1)
             idxh_l, vh_l = take_rows(lay_l, H)
             idxh_r, vh_r = take_rows(lay_r, H)
-            n_halo_over = jax.lax.psum(
+            halo_over = (
                 jnp.sum(lay_l.astype(i32)) - jnp.sum(vh_l.astype(i32))
-                + jnp.sum(lay_r.astype(i32)) - jnp.sum(vh_r.astype(i32)),
-                "b",
+                + jnp.sum(lay_r.astype(i32)) - jnp.sum(vh_r.astype(i32))
             )
             hal_f = jnp.concatenate(
                 [pos, vel, mass[:, None]], axis=1
             )  # [nl, 7]
             hal_i = jnp.stack([mat, uid], axis=1)  # [nl, 2]
             # my RIGHT layer -> right neighbor = its LEFT halo; and so on
-            hf_L, hi_L = _send(hal_f, hal_i, idxh_r, vh_r, perm_r)
-            hf_R, hi_R = _send(hal_f, hal_i, idxh_l, vh_l, perm_l)
+            hf_L, hi_L = _send(hal_f, hal_i, idxh_r, vh_r, perm_xr, ax_x)
+            hf_R, hi_R = _send(hal_f, hal_i, idxh_l, vh_l, perm_xl, ax_x)
             pos_h = jnp.concatenate([hf_L[:, 0:3], hf_R[:, 0:3]], axis=0)
             vel_h = jnp.concatenate([hf_L[:, 3:6], hf_R[:, 3:6]], axis=0)
             mass_h = jnp.concatenate([hf_L[:, 6], hf_R[:, 6]], axis=0)
             mat_h = jnp.concatenate([hi_L[:, 0], hi_R[:, 0]], axis=0)
             uid_h = jnp.concatenate([hi_L[:, 1], hi_R[:, 1]], axis=0)
+
+            # ---- halo phase y (2D): own + forwarded x-halo corners ------
+            if two_d:
+                pos_cc = jnp.concatenate([pos, pos_h], axis=0)
+                vel_cc = jnp.concatenate([vel, vel_h], axis=0)
+                mass_cc = jnp.concatenate([mass, mass_h], axis=0)
+                mat_cc = jnp.concatenate([mat, mat_h], axis=0)
+                uid_cc = jnp.concatenate([uid, uid_h], axis=0)
+                cyc = jnp.clip((pos_cc[:, 1] / cell).astype(i32), 0, g - 1)
+                cand = jnp.concatenate(
+                    [settled, mass_h > 0.0]
+                )  # halo rows were settled at the sender
+                lay_d = cand & (cyc == me_y * w_y)
+                lay_u = cand & (cyc == (me_y + 1) * w_y - 1)
+                idxy_d, vy_d = take_rows(lay_d, H)
+                idxy_u, vy_u = take_rows(lay_u, H)
+                halo_over = halo_over + (
+                    jnp.sum(lay_d.astype(i32)) - jnp.sum(vy_d.astype(i32))
+                    + jnp.sum(lay_u.astype(i32)) - jnp.sum(vy_u.astype(i32))
+                )
+                hal_fc = jnp.concatenate(
+                    [pos_cc, vel_cc, mass_cc[:, None]], axis=1
+                )
+                hal_ic = jnp.stack([mat_cc, uid_cc], axis=1)
+                yf_D, yi_D = _send(hal_fc, hal_ic, idxy_u, vy_u,
+                                   perm_yr, ax_y)
+                yf_U, yi_U = _send(hal_fc, hal_ic, idxy_d, vy_d,
+                                   perm_yl, ax_y)
+                pos_h = jnp.concatenate(
+                    [pos_h, yf_D[:, 0:3], yf_U[:, 0:3]], axis=0)
+                vel_h = jnp.concatenate(
+                    [vel_h, yf_D[:, 3:6], yf_U[:, 3:6]], axis=0)
+                mass_h = jnp.concatenate([mass_h, yf_D[:, 6], yf_U[:, 6]])
+                mat_h = jnp.concatenate([mat_h, yi_D[:, 0], yi_U[:, 0]])
+                uid_h = jnp.concatenate([uid_h, yi_D[:, 1], yi_U[:, 1]])
+            n_halo_over = jax.lax.psum(halo_over, AXES)
 
             # ---- gravity on the post-migration shard ---------------------
             if force_impl == "zero":
@@ -330,7 +440,7 @@ def make_spatial_granular_step(
                 rho = jax.lax.psum(
                     cic_deposit(pos, mass, box_size, pm_grid,
                                 periodic=False),
-                    "b",
+                    AXES,
                 )
                 acc_grid = pm_solve_grid(rho, cfg.G, box_size, pm_grid,
                                          isolated=True)
@@ -344,19 +454,21 @@ def make_spatial_granular_step(
             mat_a = jnp.concatenate([mat, mat_h], axis=0)
             uid_a = jnp.concatenate([uid, uid_h], axis=0)
             rad_a = body_radius(mass_a, mat_a, mats)
-            n_all = nl + 2 * H
+            n_all = nl + n_halo
             delta, evt, body_slot, novf = packed_collision_blocks_local(
                 pos_a, vel_a, mass_a, rad_a, box_size, g, band_cells,
                 packed_caps, cfg.restitution, cfg.friction,
-                me * w_x - 1, w_x, interpret,
+                me_x * w_x - 1, w_x, interpret,
+                me_y * w_y - 1 if two_d else 0,
+                w_y if two_d else None,
             )
             out_d, out_e = epilogue_rows(delta, evt, body_slot)
-            n_overflow = jax.lax.psum(novf, "b")
+            n_overflow = jax.lax.psum(novf, AXES)
             n_bounces = (
-                jax.lax.psum(jnp.sum(out_d[:nl, 7]), "b") / 2.0
+                jax.lax.psum(jnp.sum(out_d[:nl, 7]), AXES) / 2.0
             ).astype(i32)
             too_small = (
-                2.0 * jax.lax.pmax(jnp.max(rad_a), "b") > cell
+                2.0 * jax.lax.pmax(jnp.max(rad_a), AXES) > cell
             )
             od, oe = out_d[:nl], out_e[:nl]
 
@@ -391,13 +503,33 @@ def make_spatial_granular_step(
                 [pos, vel, temp[:, None], ct[:, None]], axis=1
             )  # [nl, 8] (post-delta)
             dec_i = pu_new[:, None]  # [nl, 1]
-            df_L, di_L = _send(dec_f, dec_i, idxh_r, vh_r, perm_r)
-            df_R, di_R = _send(dec_f, dec_i, idxh_l, vh_l, perm_l)
+            df_L, di_L = _send(dec_f, dec_i, idxh_r, vh_r, perm_xr, ax_x)
+            df_R, di_R = _send(dec_f, dec_i, idxh_l, vh_l, perm_xl, ax_x)
             pos2_h = jnp.concatenate([df_L[:, 0:3], df_R[:, 0:3]], axis=0)
             vel2_h = jnp.concatenate([df_L[:, 3:6], df_R[:, 3:6]], axis=0)
             temp2_h = jnp.concatenate([df_L[:, 6], df_R[:, 6]], axis=0)
             ct_h = jnp.concatenate([df_L[:, 7], df_R[:, 7]], axis=0)
             pu_h = jnp.concatenate([di_L[:, 0], di_R[:, 0]], axis=0)
+            if two_d:
+                # phase y forwards the SAME selection as halo phase y: rows
+                # of [own; x-halo] — own rows from this chip's decision
+                # state, x-halo rows from the phase-x receive above
+                dec_fc = jnp.concatenate([dec_f, jnp.concatenate(
+                    [df_L, df_R], axis=0)], axis=0)  # [nl + 2H, 8]
+                dec_ic = jnp.concatenate([dec_i, jnp.concatenate(
+                    [di_L, di_R], axis=0)], axis=0)
+                dfy_D, diy_D = _send(dec_fc, dec_ic, idxy_u, vy_u,
+                                     perm_yr, ax_y)
+                dfy_U, diy_U = _send(dec_fc, dec_ic, idxy_d, vy_d,
+                                     perm_yl, ax_y)
+                pos2_h = jnp.concatenate(
+                    [pos2_h, dfy_D[:, 0:3], dfy_U[:, 0:3]], axis=0)
+                vel2_h = jnp.concatenate(
+                    [vel2_h, dfy_D[:, 3:6], dfy_U[:, 3:6]], axis=0)
+                temp2_h = jnp.concatenate(
+                    [temp2_h, dfy_D[:, 6], dfy_U[:, 6]])
+                ct_h = jnp.concatenate([ct_h, dfy_D[:, 7], dfy_U[:, 7]])
+                pu_h = jnp.concatenate([pu_h, diy_D[:, 0], diy_U[:, 0]])
             pos2_a = jnp.concatenate([pos, pos2_h], axis=0)
             vel2_a = jnp.concatenate([vel, vel2_h], axis=0)
             temp2_a = jnp.concatenate([temp, temp2_h], axis=0)
@@ -455,13 +587,13 @@ def make_spatial_granular_step(
             # ---- fractures: per-chip extraction + fragment sampling ------
             fi, f_valid = take_rows(prim_f, f_cap)
             frag = _make_fragments(
-                jax.random.fold_in(key, me), cfg, f_valid,
+                jax.random.fold_in(key, me_lin), cfg, f_valid,
                 f_com[fi], f_bvel[fi],
                 jnp.where(f_valid, e_best[fi], 0.0),
                 tot[fi], f_temp[fi], f_mat[fi], f_rsum[fi],
             )
             # kill accepted parents: my fi rows, plus partners — local
-            # directly, remote via exchange 3 kill flags
+            # directly, remote via kill-flag exchanges retracing the halo
             fkill = jnp.zeros((nl,), bool)
             fkill = fkill.at[jnp.where(f_valid, fi, nl)].set(
                 True, mode="drop"
@@ -470,13 +602,35 @@ def make_spatial_granular_step(
             fkill = fkill.at[jnp.where(fj < nl, fj, nl)].set(
                 True, mode="drop"
             )
-            flag_h = jnp.zeros((2 * H,), bool).at[
-                jnp.where(fj >= nl, fj - nl, 2 * H)
+            flag_h = jnp.zeros((n_halo,), bool).at[
+                jnp.where(fj >= nl, fj - nl, n_halo)
             ].set(True, mode="drop")
-            # flags for my LEFT halo rows go back to the left owner (who
-            # sent them via perm_r) and vice versa
-            back_l = jax.lax.ppermute(flag_h[:H], "b", perm_l)
-            back_r = jax.lax.ppermute(flag_h[H:], "b", perm_r)
+            flag_x = flag_h[:2 * H]
+            if two_d:
+                # y-returns first: flags for my y-halo rows go back to the
+                # y-sender, aligned with ITS phase-y selection over
+                # [own; x-halo]; own rows kill directly, x-halo rows are
+                # OR-ed into the x-return (the corner's second hop)
+                flag_y = flag_h[2 * H:]
+                back_dn = jax.lax.ppermute(flag_y[:H], ax_y, perm_yl)
+                back_up = jax.lax.ppermute(flag_y[H:], ax_y, perm_yr)
+                # back_dn aligns with MY idxy_u rows; back_up with idxy_d
+                yk_u = jnp.where(vy_u & back_dn, idxy_u, nl + 2 * H)
+                yk_d = jnp.where(vy_d & back_up, idxy_d, nl + 2 * H)
+                fkill = fkill.at[jnp.where(yk_u < nl, yk_u, nl)].set(
+                    True, mode="drop")
+                fkill = fkill.at[jnp.where(yk_d < nl, yk_d, nl)].set(
+                    True, mode="drop")
+                xfwd = jnp.zeros((2 * H,), bool)
+                xfwd = xfwd.at[jnp.where(
+                    (yk_u >= nl) & (yk_u < nl + 2 * H), yk_u - nl, 2 * H
+                )].set(True, mode="drop")
+                xfwd = xfwd.at[jnp.where(
+                    (yk_d >= nl) & (yk_d < nl + 2 * H), yk_d - nl, 2 * H
+                )].set(True, mode="drop")
+                flag_x = flag_x | xfwd
+            back_l = jax.lax.ppermute(flag_x[:H], ax_x, perm_xl)
+            back_r = jax.lax.ppermute(flag_x[H:], ax_x, perm_xr)
             # back_l arrives aligned with MY idxh_r rows; back_r with idxh_l
             fkill = fkill.at[
                 jnp.where(vh_r & back_l, idxh_r, nl)
@@ -507,7 +661,7 @@ def make_spatial_granular_step(
             vel = vel.at[fslot].set(frag["vel"], mode="drop")
             temp = temp.at[fslot].set(frag["temp"], mode="drop")
             mat = mat.at[fslot].set(frag["mat"], mode="drop")
-            new_uid = uid_next + me * n_fk + jnp.arange(n_fk, dtype=i32)
+            new_uid = uid_next + me_lin * n_fk + jnp.arange(n_fk, dtype=i32)
             uid = uid.at[fslot].set(new_uid, mode="drop")
             uid_next2 = uid_next + i32(n_dev * n_fk)
 
@@ -524,13 +678,13 @@ def make_spatial_granular_step(
             temp = thermal.decay(temp, cfg.heat_decay)
 
             # ---- counters ------------------------------------------------
-            n_merges = jax.lax.psum(jnp.sum(prim_m.astype(i32)), "b")
-            n_fracts = jax.lax.psum(jnp.sum(prim_f.astype(i32)), "b")
+            n_merges = jax.lax.psum(jnp.sum(prim_m.astype(i32)), AXES)
+            n_fracts = jax.lax.psum(jnp.sum(prim_f.astype(i32)), AXES)
             n_dropped = jax.lax.psum(
                 jnp.sum(prim_f.astype(i32)) - jnp.sum(f_valid.astype(i32))
                 + jnp.sum(frag["mask"].astype(i32))
                 - jnp.sum(fplaced.astype(i32)),
-                "b",
+                AXES,
             ) + n_mig_drop
             return (pos, vel, acc_new, mass, mat, temp, uid, pu_new, ct,
                     uid_next2, n_merges, n_fracts, n_bounces, n_overflow,
@@ -540,12 +694,12 @@ def make_spatial_granular_step(
             local,
             mesh=mesh,
             in_specs=(
-                P("b", None), P("b", None), P("b", None), P("b"), P("b"),
-                P("b"), P("b"), P("b"), P("b"), P(),
+                P(row, None), P(row, None), P(row, None), P(row), P(row),
+                P(row), P(row), P(row), P(row), P(),
             ),
             out_specs=(
-                P("b", None), P("b", None), P("b", None), P("b"), P("b"),
-                P("b"), P("b"), P("b"), P("b"), P(),
+                P(row, None), P(row, None), P(row, None), P(row), P(row),
+                P(row), P(row), P(row), P(row), P(),
                 P(), P(), P(), P(), P(), P(), P(), P(), P(),
             ),
             # pallas_call's out_shape carries no vma annotation (see

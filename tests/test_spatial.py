@@ -356,3 +356,191 @@ def test_spatial_rejects_bad_config(mesh):
             mesh, cfg, BOX, G8, 2, (16, 32), halo_cap=8, mig_cap=8,
             force_impl="pallas",
         )
+
+
+# ---------------------------------------------------------------------------
+# 2D (x, y) slab decomposition — ROADMAP 4d's y-axis split
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh2d(eight_devices):
+    m = shard.make_mesh(8, axes=("bx", "by"))  # factored (2, 4)
+    assert m.devices.shape == (2, 4)
+    return m
+
+
+def test_spatial2d_state_distribution(mesh2d):
+    pos, vel, mass = _cloud()
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8)
+    uid = np.asarray(st.uid)
+    live = uid >= 0
+    assert live.sum() == 512
+    nl = uid.shape[0] // 8
+    cell = BOX / G8
+    p = np.asarray(st.pos)
+    w_x, w_y = G8 // 2, G8 // 4
+    for c in range(8):
+        rows = np.nonzero(live[c * nl:(c + 1) * nl])[0] + c * nl
+        cx = np.clip((p[rows, 0] / cell).astype(int), 0, G8 - 1)
+        cy = np.clip((p[rows, 1] / cell).astype(int), 0, G8 - 1)
+        np.testing.assert_array_equal((cx // w_x) * 4 + cy // w_y, c)
+
+
+def test_spatial2d_matches_single_chip(mesh2d):
+    """Per-UID parity of the 2D (x, y)-slab step with the single-chip
+    collisions_scaled sequence (merge-rich cloud, fractures off) —
+    the 2D analog of test_spatial_matches_single_chip."""
+    pos, vel, mass = _cloud(n=512, seed=9)
+    cfg = SimConfig(merge_time=0.005, fracture_threshold=1e9,
+                    materials=_fat_materials())
+    h = 0.016
+    n_steps = 4
+    band, caps = 2, (96, 160)
+
+    st1, evs = _single_loop(pos, vel, mass, cfg, h, n_steps, G8, band,
+                            caps, key0=7)
+
+    step = spatial.make_spatial_granular_step(
+        mesh2d, cfg, BOX, G8, band, caps, halo_cap=256, mig_cap=128,
+        force_impl="zero", interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8)
+    key = jax.random.PRNGKey(7)
+    counters = []
+    for i in range(n_steps):
+        st, c = step(st, h, jax.random.fold_in(key, i))
+        counters.append(c)
+
+    assert sum(int(c["n_overflow"]) for c in counters) == 0
+    assert sum(int(c["n_halo_over"]) for c in counters) == 0
+    assert sum(int(c["n_dropped"]) for c in counters) == 0
+    for k in ("n_merges", "n_bounces"):
+        got = [int(c[k]) for c in counters]
+        want = [int(getattr(ev, k)) for ev in evs]
+        assert got == want, (k, got, want)
+
+    m1 = np.asarray(st1.mass)
+    rows = _by_uid(st)
+    live1 = set(np.nonzero(m1 > 0)[0].tolist())
+    assert set(rows.keys()) == live1
+    idx = np.asarray(sorted(live1))
+    sel = np.asarray([rows[int(u)] for u in idx])
+    for fld, tol in (("pos", 1e-5), ("vel", 1e-5), ("mass", 1e-6),
+                     ("temp", 1e-5), ("contact_t", 0.0)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, fld))[sel],
+            np.asarray(getattr(st1, fld))[idx],
+            rtol=tol, atol=tol, err_msg=fld,
+        )
+    np.testing.assert_array_equal(np.asarray(st.partner_uid)[sel],
+                                  np.asarray(st1.partner)[idx])
+
+
+def test_spatial2d_diagonal_migration(mesh2d):
+    """Bodies free-streaming DIAGONALLY (+x, +y) cross both slab axes;
+    the x-then-y hop lands them in one step, uid-stable, nothing lost."""
+    n = 32
+    rng = np.random.default_rng(6)
+    pos = np.stack([
+        rng.uniform(5.0, 20.0, n),
+        rng.uniform(5.0, 15.0, n),
+        rng.uniform(10.0, 90.0, n),
+    ], axis=1).astype(np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    vel[:, 0] = 6.0
+    vel[:, 1] = 6.0
+    mass = np.full(n, 0.01, np.float32)
+    cfg = SimConfig(materials=default_materials())
+    step = spatial.make_spatial_granular_step(
+        mesh2d, cfg, BOX, G8, 2, (64, 96), halo_cap=64, mig_cap=64,
+        force_impl="zero", interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8, nl=64)
+    key = jax.random.PRNGKey(0)
+    h = 1.0
+    n_steps = 8
+    for i in range(n_steps):
+        st, c = step(st, h, jax.random.fold_in(key, i))
+        assert int(c["n_dropped"]) == 0
+    assert int(c["in_transit"]) == 0
+    rows = _by_uid(st)
+    assert len(rows) == n
+    p = np.asarray(st.pos)
+    want = pos + vel * (h * n_steps)
+    got = np.asarray([p[rows[u]] for u in range(n)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # ownership follows position on BOTH axes
+    nl = np.asarray(st.uid).shape[0] // 8
+    cell = BOX / G8
+    w_x, w_y = G8 // 2, G8 // 4
+    for u in range(n):
+        chip = rows[u] // nl
+        cx = int(np.clip(got[u, 0] // cell, 0, G8 - 1))
+        cy = int(np.clip(got[u, 1] // cell, 0, G8 - 1))
+        assert chip == (cx // w_x) * 4 + cy // w_y
+
+
+def test_spatial2d_cross_corner_merge(mesh2d):
+    """A sustained contact straddling BOTH slab axes (owners on DIAGONAL
+    chips — the corner-forwarded halo path) merges into the lower-uid
+    slot with global mass/momentum conserved."""
+    # boundaries: x at 50 (w_x = 4 layers), y at 25 (w_y = 2 layers)
+    pos = np.asarray([[49.4, 24.4, 50.0], [50.6, 25.6, 50.0]], np.float32)
+    vel = np.asarray([[0.2, 0.2, 0.0], [-0.2, -0.2, 0.0]], np.float32)
+    mass = np.asarray([5.0, 4.0], np.float32)
+    cfg = SimConfig(merge_time=0.01, fracture_threshold=1e9,
+                    materials=_fat_materials())
+    step = spatial.make_spatial_granular_step(
+        mesh2d, cfg, BOX, G8, 2, (16, 32), halo_cap=8, mig_cap=8,
+        force_impl="zero", interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8, nl=8)
+    # owners are diagonal chips
+    uid = np.asarray(st.uid)
+    nl = uid.shape[0] // 8
+    chips = {int(u): i // nl for i, u in enumerate(uid) if u >= 0}
+    cx0, cy0 = chips[0] // 4, chips[0] % 4
+    cx1, cy1 = chips[1] // 4, chips[1] % 4
+    assert abs(cx0 - cx1) == 1 and abs(cy0 - cy1) == 1
+    m0, p0 = _totals(st)[:2]
+    key = jax.random.PRNGKey(1)
+    merges = 0
+    for i in range(6):
+        st, c = step(st, 0.016, jax.random.fold_in(key, i))
+        merges += int(c["n_merges"])
+    assert merges == 1
+    rows = _by_uid(st)
+    assert set(rows.keys()) == {0}
+    m1, p1 = _totals(st)[:2]
+    assert m1 == pytest.approx(m0, rel=1e-6)
+    np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-5)
+    assert float(np.asarray(st.mass)[rows[0]]) == pytest.approx(9.0)
+
+
+def test_spatial2d_cross_corner_fracture(mesh2d):
+    """A violent impact across the corner fractures: both parents die —
+    the secondary's kill flag retraces the two-hop corner route (y-return
+    OR-ed into the x-return) — and mass is conserved."""
+    pos = np.asarray([[48.8, 23.8, 50.0], [51.2, 26.2, 50.0]], np.float32)
+    vel = np.asarray([[30.0, 30.0, 0.0], [-30.0, -30.0, 0.0]], np.float32)
+    mass = np.asarray([5.0, 4.0], np.float32)
+    cfg = SimConfig(merge_time=1e9, fracture_threshold=0.5,
+                    min_fragment_mass=0.2, materials=_fat_materials())
+    step = spatial.make_spatial_granular_step(
+        mesh2d, cfg, BOX, G8, 2, (16, 32), halo_cap=8, mig_cap=8,
+        force_impl="zero", interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8, nl=32)
+    m0 = _totals(st)[0]
+    key = jax.random.PRNGKey(2)
+    fracts = drops = 0
+    for i in range(4):
+        st, c = step(st, 0.016, jax.random.fold_in(key, i))
+        fracts += int(c["n_fractures"])
+        drops += int(c["n_dropped"])
+    assert fracts == 1
+    assert drops == 0
+    rows = _by_uid(st)
+    assert 0 not in rows and 1 not in rows  # both parents dead
+    assert len(rows) >= 2 and min(rows.keys()) >= 2
+    assert _totals(st)[0] == pytest.approx(m0, rel=1e-5)

@@ -184,9 +184,12 @@ def resolve_collisions_scaled(
     mtemp = (temp * m_i + temp[jc] * m_j) / safe_tot
     mmat = jnp.where(m_i > m_j, state.mat, state.mat[jc])  # heavier (L403)
 
-    killed = jnp.zeros((n,), bool).at[
-        jnp.where(primary_m, jc, n)
-    ].set(True, mode="drop")
+    # the merge gates are bitwise-SYMMETRIC between mutual partners (vn/q/E
+    # commute exactly; t_pair is a min — the invariant the spatial halo
+    # protocol relies on), so the secondary side is pure arithmetic: no
+    # N-length scatter (TPU scatters serialize; the sharded paths already
+    # use this form, nbx/parallel/shard.py:399)
+    killed = merge_m & (i_arange > jc)
     pm2 = primary_m[:, None]
     pos = jnp.where(pm2, mpos, pos)
     vel = jnp.where(pm2, mvel, jnp.where(killed[:, None], 0.0, vel))

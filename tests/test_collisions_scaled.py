@@ -707,3 +707,45 @@ def test_bucketed_full_loop_runs():
     assert np.isfinite(np.asarray(st.pos)).all()
     assert int(totals["n_bounces"]) > 0
     assert int(totals["n_overflow"]) == 0
+
+
+def test_merge_secondary_kill_is_arithmetic():
+    """The merge gates are bitwise-symmetric between mutual partners, so
+    killed == merge_m & (i > partner) must equal the scatter construction
+    zeros.at[where(primary, jc)].set(True) on any scene. Gate over a
+    merge-rich cloud: every merge kills exactly one secondary and global
+    mass/momentum are conserved."""
+    from nbx.config import Materials
+
+    dm = default_materials()
+    fat = Materials(density=dm.density * 0.1, color1=dm.color1,
+                    color2=dm.color2)
+    rng = np.random.default_rng(11)
+    n = 256
+    pos = jnp.asarray(rng.uniform(20, 60, (n, 3)), jnp.float32)
+    vel = jnp.asarray((40.0 - np.asarray(pos)) * 0.05
+                      + rng.normal(0, 0.5, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(2.0, 8.0, n), jnp.float32)
+    st = make_granular_state(pos, vel, mass, key=3)
+    cfg = SimConfig(merge_time=0.005, fracture_threshold=1e9,
+                    materials=fat)
+    m0 = float(jnp.sum(st.mass))
+    p0 = np.asarray(jnp.sum(st.mass[:, None] * st.vel, axis=0))
+    merges = 0
+    for i in range(4):
+        st2, ev = resolve_collisions_scaled(
+            st._replace(pos=st.pos + st.vel * 0.016,
+                        vel=st.vel),
+            cfg, 0.016, BOX, 8, band_cells=2, packed_caps=(96, 160),
+            interpret=True,
+        )
+        merges += int(ev.n_merges)
+        st = st2
+    assert merges > 0
+    m1 = float(jnp.sum(st.mass))
+    p1 = np.asarray(jnp.sum(st.mass[:, None] * st.vel, axis=0))
+    np.testing.assert_allclose(m1, m0, rtol=1e-6)
+    # momentum: bounces are pairwise-opposite, merges momentum-conserving
+    np.testing.assert_allclose(p1, p0, rtol=1e-4, atol=1e-3)
+    # exactly one survivor per merge: live count dropped by merges
+    assert int(jnp.sum(st.mass > 0)) == n - merges

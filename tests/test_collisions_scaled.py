@@ -749,3 +749,57 @@ def test_merge_secondary_kill_is_arithmetic():
     np.testing.assert_allclose(p1, p0, rtol=1e-4, atol=1e-3)
     # exactly one survivor per merge: live count dropped by merges
     assert int(jnp.sum(st.mass > 0)) == n - merges
+
+
+def test_bucketed_fuzz_parity():
+    """Randomized scenes/grids: bucketed == whole-grid packed whenever
+    both cover (including an empty tail bucket and a 3-bucket ladder)."""
+    rng = np.random.default_rng(2024)
+    for trial in range(6):
+        n = int(rng.integers(64, 200))
+        mode = trial % 3
+        if mode == 0:  # uniform
+            pos = rng.uniform(5, 95, (n, 3))
+        elif mode == 1:  # clustered
+            k = n // 2
+            pos = np.concatenate([
+                rng.uniform(5, 95, (k, 3)),
+                rng.normal(rng.uniform(20, 80, 3), 2.0, (n - k, 3)),
+            ])
+        else:  # two clumps
+            c = rng.integers(0, 2, n)
+            pos = (rng.normal(0, 3.0, (n, 3))
+                   + np.where(c[:, None] > 0, 70.0, 30.0))
+        pos = jnp.asarray(np.clip(pos, 1, 99), jnp.float32)
+        vel = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+        mass = jnp.asarray(rng.uniform(2, 8, n), jnp.float32)
+        radius = _radius(mass) * 2.0
+        g = int(rng.choice([4, 8]))
+        b = int(rng.choice([2, 4]))
+        from nbx.ops.collide import bucketed_layout_for
+
+        try:
+            buckets = bucketed_layout_for(
+                pos, BOX, g, b, split_quantile=float(rng.uniform(0.3, 0.95))
+            )
+        except ValueError:
+            continue  # tail block too big for this (g, b) — guard works
+        if trial == 5:  # exercise >2 buckets: prepend a tiny first tier
+            buckets = ((8, 16, 64),) + buckets
+        (t2, s2, _) = buckets[-1]
+        base = binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=g, band_cells=b,
+            packed_caps=(t2, s2), interpret=True,
+        )
+        buck = binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=g, band_cells=b,
+            buckets=buckets, interpret=True,
+        )
+        assert int(buck[5]) == int(base[5]) == 0, f"trial {trial}"
+        assert int(buck[4]) == int(base[4]), f"trial {trial}"
+        np.testing.assert_array_equal(np.asarray(buck[3]["j"]),
+                                      np.asarray(base[3]["j"]),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(buck[0]), np.asarray(base[0]),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"trial {trial}")

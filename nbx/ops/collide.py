@@ -1960,3 +1960,266 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
         interpret=interpret,
     )(par, tgt, src)
     return delta, evt, body_slot, n_overflow
+
+
+def bucketed_collision_blocks_local(
+    pos,
+    vel,
+    mass,
+    radius,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    buckets: tuple[tuple[int, int, int], ...],
+    restitution,
+    friction,
+    x0_cell,
+    slab_x: int,
+    interpret: bool = False,
+    y0_cell=0,
+    slab_y: int | None = None,
+):
+    """Occupancy-BUCKETED variant of packed_collision_blocks_local: the
+    local slab grid's OWNED windows run in the first bucket whose caps
+    cover them (see _packed_bucketed_blocks for the bucket machinery and
+    bucketed_layout_for for sizing) — the spatial halo-exchange step's
+    answer to the cap tax. KEEP the table construction in sync with
+    packed_collision_blocks_local (deliberate duplication: the packed
+    local trace is parity-gated and XLA-sensitive, same policy as
+    _column_neighbors_of).
+
+    Returns (out_d [n, 8], out_e [n, 8], n_overflow-over-owned-windows) in
+    LOCAL row order (owned rows first, then halo rows — halo rows read the
+    zero/sentinel padding). Divergence note: a HALO row's symmetric-drop
+    rank check uses the LAST bucket's t_rows (its owner's bucket choice
+    depends on occupancy this chip cannot see); under zero overflow the
+    masks agree exactly — the counted-overflow divergence class of the
+    packed local builder.
+    """
+    n = pos.shape[0]
+    g = n_cells
+    b = band_cells
+    w_x = slab_x
+    gx = w_x + 2
+    two_d = slab_y is not None
+    w_y = slab_y if two_d else g
+    gy = w_y + 2 if two_d else g
+    n_bands = -(-g // b)
+    n_cols_loc = gx * gy
+    n_cols_own = w_x * w_y
+    g3 = n_cols_loc * g
+    n_w = n_cols_own * n_bands
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    from nbx.ops.p3m import take_rows
+
+    feats = _body_feats(pos, vel, mass, radius, box_size)
+    par = jnp.asarray([[restitution, friction]], f32)
+    order, starts, cid_sorted = cell_sort_slabgrid(
+        pos, mass > 0.0, box_size, g, x0_cell, gx,
+        y0_cell if two_d else 0, gy,
+    )
+    feats_sorted = jnp.concatenate([feats[order], feats[n:]], axis=0)
+    inv = _invert_order(order, n)
+
+    # ---- owned columns + window tables ------------------------------------
+    if two_d:
+        ox = 1 + jnp.arange(w_x, dtype=i32)
+        oy = 1 + jnp.arange(w_y, dtype=i32)
+        cols_own = (ox[:, None] * gy + oy[None, :]).reshape(-1)
+    else:
+        cols_own = gy + jnp.arange(n_cols_own, dtype=i32)
+    w_r = jnp.arange(n_bands, dtype=i32)
+    ts_tab = starts[cols_own[:, None] * g + w_r[None, :] * b]
+    te_tab = starts[
+        cols_own[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+    ]
+    cnt_t = te_tab - ts_tab  # [n_cols_own, n_bands]
+    lo_cell = jnp.maximum(w_r * b - 1, 0)
+    hi_cell = jnp.minimum(w_r * b + b + 1, g)
+    cols_all = jnp.arange(n_cols_loc, dtype=i32)
+    ss_tab = starts[cols_all[:, None] * g + lo_cell[None, :]]
+    se_tab = starts[cols_all[:, None] * g + hi_cell[None, :]]
+    runs_all = se_tab - ss_tab  # [n_cols_loc, n_bands]
+    neigh_own = _column_neighbors_rect(gx, gy)[cols_own]  # [own, 9]
+    runs_pad = jnp.concatenate(
+        [runs_all, jnp.zeros((1, n_bands), i32)], axis=0
+    )
+    run9 = runs_pad[
+        jnp.where(neigh_own < n_cols_loc, neigh_own, n_cols_loc)
+    ]  # [own, 9, n_bands]
+    maxrun = jnp.max(run9, axis=1)  # [own, n_bands]
+    occ = cnt_t > 0
+
+    # ---- bucket assignment over OWNED windows ------------------------------
+    flags, sels, wranks = [], [], []
+    remaining = occ
+    for bi, (t_cap, s_cap, bmax) in enumerate(buckets):
+        if bi == len(buckets) - 1:
+            fl = remaining
+        else:
+            fl = remaining & (cnt_t <= t_cap) & (maxrun <= s_cap)
+        remaining = remaining & ~fl
+        flf = fl.reshape(-1)
+        wrank = jnp.cumsum(flf.astype(i32)) - 1
+        flags.append(flf)
+        wranks.append(wrank)
+        sels.append(flf & (wrank < bmax))
+
+    # ---- per-body window mapping (sorted order) ----------------------------
+    p_r = jnp.arange(n, dtype=i32)
+    col_s = cid_sorted // g  # n_cols_loc for parked rows
+    w_own_b = jnp.minimum(cid_sorted - col_s * g, g - 1) // b
+    if two_d:
+        cxl = col_s // gy
+        cyl = col_s - cxl * gy
+        owned = (
+            (cxl >= 1) & (cxl < w_x + 1) & (cyl >= 1) & (cyl < w_y + 1)
+        )
+        col_rel = jnp.clip((cxl - 1) * w_y + (cyl - 1), 0, n_cols_own - 1)
+    else:
+        owned = (col_s >= gy) & (col_s < gy + n_cols_own)
+        col_rel = jnp.clip(col_s - gy, 0, n_cols_own - 1)
+    rank_t = p_r - ts_tab[col_rel, w_own_b]
+    f_own = col_rel * n_bands + w_own_b
+    rank_w = p_r - starts[jnp.minimum(col_s * g + w_own_b * b, g3)]
+
+    # symmetric-drop mask: owned rows by their bucket; halo rows by the
+    # LAST bucket's rows (see docstring)
+    ok_sorted = jnp.zeros((n,), bool)
+    for sel, (t_cap, _, _) in zip(sels, buckets):
+        t_rows = _round_up(max(t_cap, 8), 8)
+        ok_sorted = ok_sorted | (
+            owned & sel[f_own] & (rank_t < t_rows)
+        )
+    t_last = _round_up(max(buckets[-1][0], 8), 8)
+    ok_sorted = ok_sorted | (
+        ~owned & (col_s < n_cols_loc) & (rank_w < t_last)
+    )
+    t_ok = jnp.concatenate([ok_sorted, jnp.zeros((1,), bool)])
+
+    out_d = jnp.zeros((n, 8), f32)
+    out_e = jnp.full((n, 8), DEPTH_SENTINEL, f32)
+    n_overflow = jnp.int32(0)
+    cnt_flat = cnt_t.reshape(-1)
+    for bi, ((t_cap, s_cap, bmax), flf, sel, wrank) in enumerate(
+        zip(buckets, flags, sels, wranks)
+    ):
+        t_rows = _round_up(max(t_cap, 8), 8)
+        s_capw = max(s_cap, 8)
+        s_rows = _round_up(9 * s_capw, LANE)
+        n_overflow += jnp.sum(jnp.where(flf & ~sel, cnt_flat, 0))
+        wsel, wvalid = take_rows(sel, bmax)
+        ocr = wsel // n_bands  # own-column rank
+        w_sel = wsel - ocr * n_bands
+        ts_sel = ts_tab[ocr, w_sel]
+        cnt_sel = jnp.where(wvalid, cnt_t[ocr, w_sel], 0)
+        n_overflow += jnp.sum(jnp.maximum(cnt_sel - t_rows, 0))
+        run_sel = jnp.where(
+            wvalid[:, None],
+            run9[ocr, :, w_sel],
+            0,
+        )  # [bmax, 9]
+        n_overflow += jnp.sum(jnp.maximum(run_sel - s_capw, 0))
+
+        ar_t = jnp.arange(t_rows, dtype=i32)
+        valid_t = ar_t[None, :] < jnp.minimum(cnt_sel, t_rows)[:, None]
+        take_t = jnp.minimum(ts_sel[:, None] + ar_t, n)
+        tgt = feats_sorted[jnp.where(valid_t, take_t, n)].reshape(-1, 16)
+
+        neigh_sel = neigh_own[ocr]  # [bmax, 9] local column ids
+        ar_s = jnp.arange(s_capw, dtype=i32)
+        if bi == 0:
+            # strips table over ALL local columns at this bucket's cap
+            valid_so = (
+                ar_s[None, None, :]
+                < jnp.minimum(runs_all, s_capw)[..., None]
+            )
+            take_so = jnp.minimum(ss_tab[..., None] + ar_s, n)
+            strips = feats_sorted[
+                jnp.where(valid_so & t_ok[take_so], take_so, n)
+            ]  # [n_cols_loc, n_bands, s_capw, 16]
+            stripsT = strips.transpose(0, 1, 3, 2)
+            dead_strip = jnp.broadcast_to(
+                feats[n][:, None], (1, n_bands, 16, s_capw)
+            )
+            stripsT = jnp.concatenate([stripsT, dead_strip], axis=0)
+            loc = jnp.where(neigh_sel < n_cols_loc, neigh_sel, n_cols_loc)
+            fused = stripsT[loc, w_sel[:, None]]  # [bmax, 9, 16, s_capw]
+            src = fused.transpose(0, 2, 1, 3).reshape(
+                bmax, 16, 9 * s_capw
+            )
+        else:
+            okn = neigh_sel < n_cols_loc
+            ss = starts[jnp.where(
+                okn, neigh_sel * g + lo_cell[w_sel][:, None], g3
+            )]
+            se = starts[jnp.where(
+                okn, neigh_sel * g + hi_cell[w_sel][:, None], g3
+            )]
+            valid_s = (
+                ar_s[None, None, :]
+                < jnp.minimum(se - ss, s_capw)[..., None]
+            ) & wvalid[:, None, None]
+            take_s = jnp.minimum(ss[..., None] + ar_s, n)
+            rows_g = feats_sorted[
+                jnp.where(valid_s & t_ok[take_s], take_s, n)
+            ]  # [bmax, 9, s_capw, 16]
+            src = rows_g.transpose(0, 3, 1, 2).reshape(
+                bmax, 16, 9 * s_capw
+            )
+        lane_pad = jnp.broadcast_to(
+            feats[n][:, None], (bmax, 16, s_rows - 9 * s_capw)
+        )
+        src = jnp.concatenate([src, lane_pad], axis=2).reshape(-1, s_rows)
+
+        delta, evt = pl.pallas_call(
+            _collide_kernel_fused,
+            grid=(bmax,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=60 * bmax * t_rows * s_rows,
+                bytes_accessed=(bmax * (t_rows * 16 + s_rows * 16
+                                        + t_rows * 16)) * 4,
+                transcendentals=bmax * t_rows * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(par, tgt, src)
+
+        delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], axis=0)
+        evt_p = jnp.concatenate(
+            [evt, jnp.full((1, 8), DEPTH_SENTINEL, f32)], axis=0
+        )
+        slot_sorted = jnp.where(
+            owned & sel[f_own] & (rank_t < t_rows),
+            wrank[f_own] * t_rows + rank_t,
+            bmax * t_rows,
+        )
+        body_slot = slot_sorted[inv]
+        out_d = out_d + delta_p[body_slot]
+        e_k = evt_p[body_slot]
+        out_e = jnp.where((e_k[:, 0] > out_e[:, 0])[:, None], e_k, out_e)
+
+    return out_d, out_e, n_overflow

@@ -78,7 +78,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nbx import thermal
 from nbx.collisions import _make_fragments
 from nbx.config import SimConfig, body_radius
-from nbx.ops.collide import epilogue_rows, packed_collision_blocks_local
+from nbx.ops.collide import (
+    bucketed_collision_blocks_local,
+    epilogue_rows,
+    packed_collision_blocks_local,
+)
 from nbx.ops.p3m import take_rows
 
 
@@ -220,8 +224,15 @@ def make_spatial_granular_step(
     force_impl: str = "pm",
     pm_grid: int = 128,
     interpret: bool = False,
+    buckets: tuple[tuple[int, int, int], ...] | None = None,
 ):
     """Build the halo-exchange sharded granular step (module docstring).
+
+    With buckets=((t1, s1, m1), (t2, s2, m2), ...) the local kernel uses
+    the occupancy-BUCKETED layout instead of uniform packed_caps (which
+    are then ignored): each chip's owned windows run at the first
+    covering bucket's caps — the cap-tax fix carried into the O(N/D)
+    path. Size with bucketed_layout_for on a representative frame.
 
     The mesh may have ONE axis (x-slab ownership, the round-3 design) or
     TWO axes ("bx", "by": 2D (x, y)-slab ownership — the decomposition
@@ -455,14 +466,23 @@ def make_spatial_granular_step(
             uid_a = jnp.concatenate([uid, uid_h], axis=0)
             rad_a = body_radius(mass_a, mat_a, mats)
             n_all = nl + n_halo
-            delta, evt, body_slot, novf = packed_collision_blocks_local(
-                pos_a, vel_a, mass_a, rad_a, box_size, g, band_cells,
-                packed_caps, cfg.restitution, cfg.friction,
-                me_x * w_x - 1, w_x, interpret,
-                me_y * w_y - 1 if two_d else 0,
-                w_y if two_d else None,
-            )
-            out_d, out_e = epilogue_rows(delta, evt, body_slot)
+            if buckets is not None:
+                out_d, out_e, novf = bucketed_collision_blocks_local(
+                    pos_a, vel_a, mass_a, rad_a, box_size, g, band_cells,
+                    buckets, cfg.restitution, cfg.friction,
+                    me_x * w_x - 1, w_x, interpret,
+                    me_y * w_y - 1 if two_d else 0,
+                    w_y if two_d else None,
+                )
+            else:
+                delta, evt, body_slot, novf = packed_collision_blocks_local(
+                    pos_a, vel_a, mass_a, rad_a, box_size, g, band_cells,
+                    packed_caps, cfg.restitution, cfg.friction,
+                    me_x * w_x - 1, w_x, interpret,
+                    me_y * w_y - 1 if two_d else 0,
+                    w_y if two_d else None,
+                )
+                out_d, out_e = epilogue_rows(delta, evt, body_slot)
             n_overflow = jax.lax.psum(novf, AXES)
             n_bounces = (
                 jax.lax.psum(jnp.sum(out_d[:nl, 7]), AXES) / 2.0

@@ -544,3 +544,74 @@ def test_spatial2d_cross_corner_fracture(mesh2d):
     assert 0 not in rows and 1 not in rows  # both parents dead
     assert len(rows) >= 2 and min(rows.keys()) >= 2
     assert _totals(st)[0] == pytest.approx(m0, rel=1e-5)
+
+
+def test_spatial_bucketed_matches_packed(mesh):
+    """The spatial step with the occupancy-bucketed local layout matches
+    the same step with uniform packed caps (both covering: same
+    counters, same state bit-for-fp)."""
+    from nbx.ops.collide import bucketed_layout_for
+
+    pos, vel, mass = _cloud(n=512, seed=9)
+    cfg = SimConfig(merge_time=0.005, fracture_threshold=1e9,
+                    materials=_fat_materials())
+    h = 0.016
+    band, caps = 2, (96, 160)
+    buckets = bucketed_layout_for(pos, BOX, G8, band, split_quantile=0.6)
+    t2, s2, _ = buckets[-1]
+
+    def run(buck):
+        step = spatial.make_spatial_granular_step(
+            mesh, cfg, BOX, G8, band, caps if buck is None else (8, 8),
+            halo_cap=192, mig_cap=128, force_impl="zero", interpret=True,
+            buckets=buck,
+        )
+        st = spatial.spatial_state_for(mesh, pos, vel, mass, BOX, G8)
+        key = jax.random.PRNGKey(7)
+        cs = []
+        for i in range(3):
+            st, c = step(st, h, jax.random.fold_in(key, i))
+            cs.append(c)
+        return st, cs
+
+    # reference covering caps: at least the tail bucket's
+    stp, cp = run(None)
+    stb, cb = run(buckets)
+    for k in ("n_merges", "n_bounces", "n_overflow"):
+        assert [int(c[k]) for c in cb] == [int(c[k]) for c in cp], k
+    assert sum(int(c["n_overflow"]) for c in cb) == 0
+    rb, rp = _by_uid(stb), _by_uid(stp)
+    assert set(rb.keys()) == set(rp.keys())
+    idx = sorted(rb.keys())
+    selb = np.asarray([rb[u] for u in idx])
+    selp = np.asarray([rp[u] for u in idx])
+    for fld in ("pos", "vel", "mass", "temp", "contact_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(stb, fld))[selb],
+            np.asarray(getattr(stp, fld))[selp],
+            rtol=1e-5, atol=1e-5, err_msg=fld,
+        )
+
+
+def test_spatial2d_bucketed_smoke(mesh2d):
+    """Bucketed local layout on the 2D mesh: runs, conserves mass, zero
+    overflow with covering buckets."""
+    from nbx.ops.collide import bucketed_layout_for
+
+    pos, vel, mass = _cloud(n=256, seed=4)
+    cfg = SimConfig(merge_time=0.01, fracture_threshold=1e9,
+                    materials=_fat_materials())
+    buckets = bucketed_layout_for(pos, BOX, G8, 2, split_quantile=0.7)
+    step = spatial.make_spatial_granular_step(
+        mesh2d, cfg, BOX, G8, 2, (8, 8), halo_cap=192, mig_cap=64,
+        force_impl="zero", interpret=True, buckets=buckets,
+    )
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8)
+    m0 = _totals(st)[0]
+    key = jax.random.PRNGKey(3)
+    for i in range(3):
+        st, c = step(st, 0.016, jax.random.fold_in(key, i))
+        assert int(c["n_overflow"]) == 0
+        assert int(c["n_dropped"]) == 0
+    assert int(c["n_bounces"]) >= 0
+    assert _totals(st)[0] == pytest.approx(m0, rel=1e-6)

@@ -38,10 +38,10 @@ def main(n: int = 8192, n_steps: int = 60, out_dir: str = "/tmp/nbx_spatial"):
 
     cfg = SimConfig(G=0.5, dt=0.016, sub_steps=1, merge_time=0.1,
                     fracture_threshold=6.0)
+    import math
+
     d = len(jax.devices())
-    g = 16
-    while g % d:
-        g *= 2
+    g = 16 * d // math.gcd(16, d)  # lcm(16, d): any device count works
     mesh = shard.make_mesh(d)
     interp = jax.default_backend() != "tpu"
     step = spatial.make_spatial_granular_step(

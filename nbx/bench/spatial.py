@@ -32,7 +32,8 @@ from nbx.parallel import shard, spatial
 def main(argv):
     n = int(argv[0]) if argv else 131072
     parts = (argv[1] if len(argv) > 1 else "32,8,96,104").split(",")
-    g, band = int(parts[0]), int(parts[1])
+    g = int(parts[0])
+    band = int(parts[1]) if len(parts) > 1 else 8
     caps = (int(parts[2]), int(parts[3])) if len(parts) > 3 else (96, 104)
     force = argv[2] if len(argv) > 2 else "pm"
     pos, vel, mass = granular_cloud(n)

@@ -212,6 +212,65 @@ def spatial_state_for(
     )
 
 
+def spatial_buckets_for(
+    mesh: Mesh,
+    pos,
+    box_size: float,
+    n_cells: int,
+    band_cells: int,
+    split_quantile: float = 0.8,
+    slack: float = 1.25,
+    block_slack: float = 1.3,
+) -> tuple[tuple[int, int, int], ...]:
+    """PER-CHIP bucket sizing for make_spatial_granular_step(buckets=...).
+
+    Caps come from bucketed_layout_for on the global frame; block budgets
+    are set to the WORST chip's occupied-window count in each bucket
+    (x block_slack, multiples of 8). Every chip launches its own budget
+    of kernel blocks, so whole-grid budgets would cost ~D x the needed
+    block work, while global/D budgets under-serve imbalanced ownership
+    (an empty boundary slab next to a dense middle slab). HOST-side:
+    returns python ints — call per scene or when n_overflow goes
+    nonzero."""
+    import numpy as np
+
+    from nbx.ops.collide import (
+        _window_counts,
+        _window_max_strip_runs,
+        bucketed_layout_for,
+    )
+
+    g = n_cells
+    two_d, _, _, d_x, d_y, w_x, w_y = _mesh_split(mesh, g)
+    caps = bucketed_layout_for(
+        pos, box_size, g, band_cells, split_quantile=split_quantile,
+        slack=slack, block_slack=block_slack,
+    )
+    cnt, _ = _window_counts(pos, box_size, g, band_cells)
+    mrun = _window_max_strip_runs(pos, box_size, g, band_cells)
+    cols = np.arange(g * g)
+    ci, cj = cols // g, cols % g
+    chip = (ci // w_x) * d_y
+    if two_d:
+        chip = chip + np.clip(cj // w_y, 0, d_y - 1)
+    chip = np.broadcast_to(chip[:, None], cnt.shape)
+    occ = cnt > 0
+    remaining = occ
+    out = []
+    for bi, (t, s, _) in enumerate(caps):
+        if bi == len(caps) - 1:
+            fl = remaining
+        else:
+            fl = remaining & (cnt <= t) & (mrun <= s)
+        remaining = remaining & ~fl
+        m = 0
+        if fl.any():
+            m = int(np.bincount(chip[fl], minlength=d_x * d_y).max())
+        m = max(8, -(-int(np.ceil(m * block_slack)) // 8) * 8)
+        out.append((t, s, m))
+    return tuple(out)
+
+
 def make_spatial_granular_step(
     mesh: Mesh,
     cfg: SimConfig,
@@ -232,7 +291,9 @@ def make_spatial_granular_step(
     the occupancy-BUCKETED layout instead of uniform packed_caps (which
     are then ignored): each chip's owned windows run at the first
     covering bucket's caps — the cap-tax fix carried into the O(N/D)
-    path. Size with bucketed_layout_for on a representative frame.
+    path. Size with spatial_buckets_for (PER-CHIP block budgets: every
+    chip launches grid=(m_k,) blocks per bucket, so whole-grid budgets
+    from bucketed_layout_for would cost ~D x the needed block work).
 
     The mesh may have ONE axis (x-slab ownership, the round-3 design) or
     TWO axes ("bx", "by": 2D (x, y)-slab ownership — the decomposition

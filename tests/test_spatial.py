@@ -550,15 +550,13 @@ def test_spatial_bucketed_matches_packed(mesh):
     """The spatial step with the occupancy-bucketed local layout matches
     the same step with uniform packed caps (both covering: same
     counters, same state bit-for-fp)."""
-    from nbx.ops.collide import bucketed_layout_for
-
     pos, vel, mass = _cloud(n=512, seed=9)
     cfg = SimConfig(merge_time=0.005, fracture_threshold=1e9,
                     materials=_fat_materials())
     h = 0.016
     band, caps = 2, (96, 160)
-    buckets = bucketed_layout_for(pos, BOX, G8, band, split_quantile=0.6)
-    t2, s2, _ = buckets[-1]
+    buckets = spatial.spatial_buckets_for(mesh, pos, BOX, G8, band,
+                                          split_quantile=0.6)
 
     def run(buck):
         step = spatial.make_spatial_granular_step(
@@ -596,12 +594,11 @@ def test_spatial_bucketed_matches_packed(mesh):
 def test_spatial2d_bucketed_smoke(mesh2d):
     """Bucketed local layout on the 2D mesh: runs, conserves mass, zero
     overflow with covering buckets."""
-    from nbx.ops.collide import bucketed_layout_for
-
     pos, vel, mass = _cloud(n=256, seed=4)
     cfg = SimConfig(merge_time=0.01, fracture_threshold=1e9,
                     materials=_fat_materials())
-    buckets = bucketed_layout_for(pos, BOX, G8, 2, split_quantile=0.7)
+    buckets = spatial.spatial_buckets_for(mesh2d, pos, BOX, G8, 2,
+                                          split_quantile=0.7)
     step = spatial.make_spatial_granular_step(
         mesh2d, cfg, BOX, G8, 2, (8, 8), halo_cap=192, mig_cap=64,
         force_impl="zero", interpret=True, buckets=buckets,

@@ -612,3 +612,55 @@ def test_spatial2d_bucketed_smoke(mesh2d):
         assert int(c["n_dropped"]) == 0
     assert int(c["n_bounces"]) >= 0
     assert _totals(st)[0] == pytest.approx(m0, rel=1e-6)
+
+
+def test_spatial2d_pm_gravity_close_to_single(mesh2d):
+    """PM gravity on the 2D mesh (per-chip deposit + grid psum over BOTH
+    axes + replicated solve) tracks the single-chip granular PM loop."""
+    from nbx.collisions_scaled import granular_full_kdk_scan, make_granular_state
+
+    pos, vel, mass = _cloud(n=256, seed=15, vsig=0.5)
+    cfg = SimConfig(G=2.0, merge_time=1e9, fracture_threshold=1e9,
+                    materials=default_materials())
+    h = cfg.dt / cfg.sub_steps
+    band, caps = 2, (96, 160)
+    n_steps = 2
+
+    st1, _ = granular_full_kdk_scan(
+        make_granular_state(pos, vel, mass, key=0), cfg, BOX,
+        n_steps=n_steps, n_cells=G8, band_cells=band, packed_caps=caps,
+        force_impl="pm", pm_grid=32, interpret=True,
+    )
+
+    step = spatial.make_spatial_granular_step(
+        mesh2d, cfg, BOX, G8, band, caps, halo_cap=128, mig_cap=64,
+        force_impl="pm", pm_grid=32, interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh2d, pos, vel, mass, BOX, G8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from nbx.ops.pm import pm_acceleration
+
+    uid = np.asarray(st.uid)
+    acc0 = np.zeros((uid.shape[0], 3), np.float32)
+    live = uid >= 0
+    a0 = np.asarray(pm_acceleration(
+        jnp.asarray(pos), jnp.asarray(mass), cfg.G, BOX, g=32,
+        isolated=True,
+    ))
+    acc0[live] = a0[uid[live]]
+    st = st._replace(acc=jax.device_put(
+        jnp.asarray(acc0), NamedSharding(mesh2d, P(("bx", "by"), None))
+    ))
+    key = jax.random.PRNGKey(0)
+    for i in range(n_steps):
+        st, c = step(st, h, jax.random.fold_in(key, i))
+
+    rows = _by_uid(st)
+    m1 = np.asarray(st1.mass)
+    idx = np.asarray(sorted(set(np.nonzero(m1 > 0)[0].tolist())))
+    assert set(rows.keys()) == set(idx.tolist())
+    sel = np.asarray([rows[int(u)] for u in idx])
+    np.testing.assert_allclose(
+        np.asarray(st.pos)[sel], np.asarray(st1.pos)[idx],
+        rtol=2e-4, atol=2e-4,
+    )

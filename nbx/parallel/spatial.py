@@ -448,8 +448,18 @@ def make_spatial_granular_step(
             in_transit = alive & transit
             n_transit = jax.lax.psum(jnp.sum(in_transit.astype(i32)), AXES)
             settled = alive & ~in_transit
-            lay_l = settled & (cx == me_x * w_x)
-            lay_r = settled & (cx == (me_x + 1) * w_x - 1)
+            # a size-1 axis has NO neighbor: the cyclic ppermute would
+            # self-deliver boundary bodies as in-slab CLONES (same uid,
+            # same cell — they hijack the deepest-partner record and
+            # suppress events). Halo selection is statically empty there;
+            # sends of boundary chips to WRAPPED neighbors (d > 1) are
+            # harmless: the non-periodic positions park outside the
+            # receiver's local grid.
+            if d_x > 1:
+                lay_l = settled & (cx == me_x * w_x)
+                lay_r = settled & (cx == (me_x + 1) * w_x - 1)
+            else:
+                lay_l = lay_r = jnp.zeros((nl,), bool)
             idxh_l, vh_l = take_rows(lay_l, H)
             idxh_r, vh_r = take_rows(lay_r, H)
             halo_over = (
@@ -480,8 +490,11 @@ def make_spatial_granular_step(
                 cand = jnp.concatenate(
                     [settled, mass_h > 0.0]
                 )  # halo rows were settled at the sender
-                lay_d = cand & (cyc == me_y * w_y)
-                lay_u = cand & (cyc == (me_y + 1) * w_y - 1)
+                if d_y > 1:  # size-1 y axis: same no-self-clone rule
+                    lay_d = cand & (cyc == me_y * w_y)
+                    lay_u = cand & (cyc == (me_y + 1) * w_y - 1)
+                else:
+                    lay_d = lay_u = jnp.zeros_like(cand)
                 idxy_d, vy_d = take_rows(lay_d, H)
                 idxy_u, vy_u = take_rows(lay_u, H)
                 halo_over = halo_over + (

@@ -664,3 +664,33 @@ def test_spatial2d_pm_gravity_close_to_single(mesh2d):
         np.asarray(st.pos)[sel], np.asarray(st1.pos)[idx],
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_spatial_single_device_no_self_clones(eight_devices):
+    """D=1 (the real-chip bench configuration): the cyclic halo ppermute
+    must NOT self-deliver boundary bodies as in-slab clones — a clone
+    shares the body's uid and cell, hijacks its deepest-partner record,
+    and silently suppresses merges. Gate: a boundary-cell contact merges
+    exactly as the single-chip sequence does."""
+    mesh1 = shard.make_mesh(1)
+    # pair inside the FIRST x-cell layer (the boundary layer a cyclic
+    # self-send would clone)
+    pos = np.asarray([[1.0, 50.0, 50.0], [2.0, 50.0, 50.0]], np.float32)
+    vel = np.asarray([[0.2, 0.0, 0.0], [-0.2, 0.0, 0.0]], np.float32)
+    mass = np.asarray([5.0, 4.0], np.float32)
+    cfg = SimConfig(merge_time=0.01, fracture_threshold=1e9,
+                    materials=_fat_materials())
+    step = spatial.make_spatial_granular_step(
+        mesh1, cfg, BOX, G8, 2, (16, 32), halo_cap=8, mig_cap=8,
+        force_impl="zero", interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh1, pos, vel, mass, BOX, G8, nl=8)
+    key = jax.random.PRNGKey(1)
+    merges = 0
+    for i in range(6):
+        st, c = step(st, 0.016, jax.random.fold_in(key, i))
+        merges += int(c["n_merges"])
+    assert merges == 1  # self-clones would keep this at 0
+    rows = _by_uid(st)
+    assert set(rows.keys()) == {0}
+    assert float(np.asarray(st.mass)[rows[0]]) == pytest.approx(9.0)

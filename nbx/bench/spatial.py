@@ -32,6 +32,10 @@ from nbx.parallel import shard, spatial
 def main(argv):
     n = int(argv[0]) if argv else 131072
     parts = (argv[1] if len(argv) > 1 else "32,8,96,104").split(",")
+    if len(parts) == 3:
+        raise SystemExit(
+            f"bad config {argv[1]!r}: caps need BOTH Tc,Sc (g[,B[,Tc,Sc]])"
+        )
     g = int(parts[0])
     band = int(parts[1]) if len(parts) > 1 else 8
     caps = (int(parts[2]), int(parts[3])) if len(parts) > 3 else (96, 104)

@@ -476,15 +476,17 @@ def packed_layout_for(
 
 
 def _window_max_strip_runs(pos, box_size: float, n_cells: int,
-                           band_cells: int):
+                           band_cells: int, cnt_s=None):
     """Per-window (column x band) MAX guarded-strip run over the 9 neighbor
     columns, numpy [n_cols, n_bands] (host-side). This — not the own-column
     run — is what the per-strip source cap of the compacted/bucketed
-    layouts must cover."""
+    layouts must cover. Pass cnt_s (from _window_counts) to avoid a second
+    device-side census."""
     import numpy as np
 
     g = n_cells
-    _, cnt_s = _window_counts(pos, box_size, n_cells, band_cells)
+    if cnt_s is None:
+        _, cnt_s = _window_counts(pos, box_size, n_cells, band_cells)
     n_bands = cnt_s.shape[1]
     # pad with a zero-run virtual column for out-of-range neighbors
     cs = np.concatenate([cnt_s, np.zeros((1, n_bands), cnt_s.dtype)], axis=0)
@@ -500,6 +502,27 @@ def _window_max_strip_runs(pos, box_size: float, n_cells: int,
     return m
 
 
+def bucket_flags_host(cnt_t, maxrun, caps):
+    """First-covering-bucket window assignment, numpy bool arrays per
+    bucket (host-side) — THE assignment rule; the traced builders
+    (_packed_bucketed_blocks / bucketed_collision_blocks_local) implement
+    the same rule on device, and every host-side budget sizing must go
+    through here so budgets stay in sync with the caps."""
+    import numpy as np
+
+    occ = cnt_t > 0
+    remaining = occ
+    out = []
+    for bi, (t, sc, _) in enumerate(caps):
+        if bi == len(caps) - 1:
+            fl = remaining
+        else:
+            fl = remaining & (cnt_t <= t) & (maxrun <= sc)
+        remaining = remaining & ~fl
+        out.append(fl)
+    return out
+
+
 def bucketed_layout_for(
     pos,
     box_size: float,
@@ -510,6 +533,7 @@ def bucketed_layout_for(
     block_slack: float = 1.3,
     max_source_lanes: int = 8192,
     max_block_pair_lanes: int = 2 * 1024 * 1024,
+    _stats=None,  # precomputed (cnt_t, maxrun) — skips the device census
 ) -> tuple[tuple[int, int, int], ...]:
     """Measure THIS frame's window occupancy and size a two-bucket
     occupancy-compacted configuration for binned_collision_pass(buckets=...):
@@ -526,8 +550,12 @@ def bucketed_layout_for(
     per scene or when n_overflow goes nonzero)."""
     import numpy as np
 
-    cnt_t, _ = _window_counts(pos, box_size, n_cells, band_cells)
-    maxrun = _window_max_strip_runs(pos, box_size, n_cells, band_cells)
+    if _stats is None:
+        cnt_t, cnt_s = _window_counts(pos, box_size, n_cells, band_cells)
+        maxrun = _window_max_strip_runs(pos, box_size, n_cells,
+                                        band_cells, cnt_s=cnt_s)
+    else:
+        cnt_t, maxrun = _stats
     occ = cnt_t > 0
     if not occ.any():
         return ((8, 8, 8), (8, 8, 8))
@@ -538,10 +566,11 @@ def bucketed_layout_for(
 
     t1 = cap(np.quantile(oc, split_quantile))
     s1 = cap(np.quantile(orun, split_quantile))
-    in1 = (cnt_t <= t1) & (maxrun <= s1) & occ
-    in2 = occ & ~in1
     t2 = cap(oc.max())
     s2 = cap(orun.max())
+    in1, in2 = bucket_flags_host(
+        cnt_t, maxrun, ((t1, s1, 0), (t2, s2, 0))
+    )
     if 9 * s2 > max_source_lanes:
         raise ValueError(
             f"bucketed tail caps ({t2}, {s2}) need {9 * s2} fused source"
@@ -2116,12 +2145,15 @@ def bucketed_collision_blocks_local(
         ts_sel = ts_tab[ocr, w_sel]
         cnt_sel = jnp.where(wvalid, cnt_t[ocr, w_sel], 0)
         n_overflow += jnp.sum(jnp.maximum(cnt_sel - t_rows, 0))
-        run_sel = jnp.where(
-            wvalid[:, None],
-            run9[ocr, :, w_sel],
-            0,
-        )  # [bmax, 9]
-        n_overflow += jnp.sum(jnp.maximum(run_sel - s_capw, 0))
+        # source overflow counted on each window's OWN strip only
+        # (neighbor index 4 = the (0, 0) offset of the (-1,0,1)^2
+        # enumeration): every window is owned by exactly one chip, so
+        # per-chip psums add up to a whole-grid count without double
+        # counting shared strips or halo copies — the same accounting
+        # rule as packed_collision_blocks_local's own-column count
+        # (unlike the compacted/global-bucketed per-neighborhood superset)
+        own_run = jnp.where(wvalid, run9[ocr, 4, w_sel], 0)
+        n_overflow += jnp.sum(jnp.maximum(own_run - s_capw, 0))
 
         ar_t = jnp.arange(t_rows, dtype=i32)
         valid_t = ar_t[None, :] < jnp.minimum(cnt_sel, t_rows)[:, None]

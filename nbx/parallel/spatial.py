@@ -229,7 +229,9 @@ def spatial_buckets_for(
     (x block_slack, multiples of 8). Every chip launches its own budget
     of kernel blocks, so whole-grid budgets would cost ~D x the needed
     block work, while global/D budgets under-serve imbalanced ownership
-    (an empty boundary slab next to a dense middle slab). HOST-side:
+    (an empty boundary slab next to a dense middle slab). One window
+    census is shared across caps, assignment (bucket_flags_host — the
+    single source of the assignment rule) and budgets. HOST-side:
     returns python ints — call per scene or when n_overflow goes
     nonzero."""
     import numpy as np
@@ -237,37 +239,32 @@ def spatial_buckets_for(
     from nbx.ops.collide import (
         _window_counts,
         _window_max_strip_runs,
+        bucket_flags_host,
         bucketed_layout_for,
     )
 
     g = n_cells
     two_d, _, _, d_x, d_y, w_x, w_y = _mesh_split(mesh, g)
+    cnt, cnt_s = _window_counts(pos, box_size, g, band_cells)
+    mrun = _window_max_strip_runs(pos, box_size, g, band_cells,
+                                  cnt_s=cnt_s)
     caps = bucketed_layout_for(
         pos, box_size, g, band_cells, split_quantile=split_quantile,
-        slack=slack, block_slack=block_slack,
+        slack=slack, block_slack=block_slack, _stats=(cnt, mrun),
     )
-    cnt, _ = _window_counts(pos, box_size, g, band_cells)
-    mrun = _window_max_strip_runs(pos, box_size, g, band_cells)
     cols = np.arange(g * g)
     ci, cj = cols // g, cols % g
     chip = (ci // w_x) * d_y
     if two_d:
         chip = chip + np.clip(cj // w_y, 0, d_y - 1)
     chip = np.broadcast_to(chip[:, None], cnt.shape)
-    occ = cnt > 0
-    remaining = occ
     out = []
-    for bi, (t, s, _) in enumerate(caps):
-        if bi == len(caps) - 1:
-            fl = remaining
-        else:
-            fl = remaining & (cnt <= t) & (mrun <= s)
-        remaining = remaining & ~fl
+    for (t, sc, _), fl in zip(caps, bucket_flags_host(cnt, mrun, caps)):
         m = 0
         if fl.any():
             m = int(np.bincount(chip[fl], minlength=d_x * d_y).max())
         m = max(8, -(-int(np.ceil(m * block_slack)) // 8) * 8)
-        out.append((t, s, m))
+        out.append((t, sc, m))
     return tuple(out)
 
 
@@ -487,9 +484,17 @@ def make_spatial_granular_step(
                 mat_cc = jnp.concatenate([mat, mat_h], axis=0)
                 uid_cc = jnp.concatenate([uid, uid_h], axis=0)
                 cyc = jnp.clip((pos_cc[:, 1] / cell).astype(i32), 0, g - 1)
-                cand = jnp.concatenate(
-                    [settled, mass_h > 0.0]
-                )  # halo rows were settled at the sender
+                # x-halo rows qualify only if their x-cell actually lies in
+                # my local grid: an x-BOUNDARY chip also receives the
+                # cyclic ppermute's WRAP traffic (the far slab's layer,
+                # non-periodic box) — forwarding it would burn the phase-y
+                # H-cap ahead of genuine corner rows and inflate
+                # n_halo_over (the junk itself parks outside every grid)
+                cx_h = jnp.clip(
+                    (pos_h[:, 0] / cell).astype(i32), 0, g - 1
+                ) - (me_x * w_x - 1)
+                halo_ok = (mass_h > 0.0) & (cx_h >= 0) & (cx_h < w_x + 2)
+                cand = jnp.concatenate([settled, halo_ok])
                 if d_y > 1:  # size-1 y axis: same no-self-clone rule
                     lay_d = cand & (cyc == me_y * w_y)
                     lay_u = cand & (cyc == (me_y + 1) * w_y - 1)

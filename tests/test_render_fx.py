@@ -306,3 +306,27 @@ def test_big_splat_tap_depth_test():
     np.testing.assert_allclose(
         left, np.asarray(free[:, :x0 + 1]).sum(), rtol=1e-6
     )
+
+
+def test_add_flashes_depth_occluded():
+    """add_flashes (the event-flash splat utility) masks pixels whose
+    opaque surface is in front of the flash, same rule as the persistent
+    light glow."""
+    from nbx.render.splat import add_flashes
+
+    h, w = 90, 160
+    cam = Camera.default()
+    img0 = jnp.zeros((h, w, 3), jnp.float32)
+    fpos = jnp.zeros((1, 3), jnp.float32)
+    fe = jnp.asarray([100.0])
+    fm = jnp.asarray([True])
+    free = add_flashes(img0, fpos, fe, fm, cam, width=w, height=h)
+    assert float(free.sum()) > 0.0
+    near = jnp.zeros((h, w), jnp.float32)  # everything occluded
+    behind = add_flashes(img0, fpos, fe, fm, cam, width=w, height=h,
+                         depth=near)
+    assert float(behind.sum()) == 0.0
+    far = jnp.full((h, w), jnp.inf, jnp.float32)
+    front = add_flashes(img0, fpos, fe, fm, cam, width=w, height=h,
+                        depth=far)
+    np.testing.assert_allclose(np.asarray(front), np.asarray(free))

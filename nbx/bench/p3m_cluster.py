@@ -11,6 +11,12 @@ Pallas kernel.
     env PYTHONPATH=/root/repo:/root/.axon_site python -m nbx.bench.p3m_cluster \
         [n_total] [n_core] [mode ...]
     # defaults: 1000000 30000 dense twolevel
+    # mode = dense|twolevel, optionally with a tune suffix
+    #   mode@n_cells,K[,pp]   e.g. twolevel@12,768,pallas
+    # pp = xla|pallas picks the main short-range implementation. The
+    # ACCURACY-resolving tune needs h <= a/1.7 => n_cells <= g/5.1
+    # (n_cells=12 at g=64) — affordable only on the pallas path
+    # (nbx.ops.ppkernel); the round-2 default 25,96 has a/h = 0.85.
 
 Methodology (CLAUDE.md): wall-clock around one jitted eval with the result
 materialized; each dispatch stays well under the ~30 s tunnel limit.
@@ -78,7 +84,14 @@ def main(argv):
     modes = argv[2:] or ["dense", "twolevel"]
     pos, mass, n_field = cluster_scene(n_total, n_core)
 
-    for mode in modes:
+    for spec in modes:
+        mode, n_cells, k, pp = spec, 25, 96, "xla"
+        if "@" in spec:
+            mode, rest = spec.split("@", 1)
+            parts = rest.split(",")
+            n_cells, k = int(parts[0]), int(parts[1])
+            if len(parts) > 2:
+                pp = parts[2]
         # g=64: the round-2 measured base (0.72 s); g=128 alone costs 2.7 s.
         # Submesh: cost is subcells * 27 * sub_k^2 REGARDLESS of occupancy,
         # so size sub_k to the peak submesh-cell density and refine
@@ -86,9 +99,9 @@ def main(argv):
         # sub_g must resolve a1 (>= 3*sub_cells, enforced): (32, 48)@64
         # measured core err 2.6e-2 from the under-resolved band term.
         kw = dict(
-            g=64, n_cells=25, max_per_cell=96, eps=EPS,
+            g=64, n_cells=n_cells, max_per_cell=k, eps=EPS,
             max_residual=32768, residual_mode=mode,
-            sub_g=96, sub_cells=24, sub_k=96,
+            sub_g=96, sub_cells=24, sub_k=96, pp_impl=pp,
         )
         acc, unc = p3m_acceleration(pos, mass, 1.0, BOX, **kw)
         np.asarray(acc)  # warm + materialize
@@ -100,7 +113,7 @@ def main(argv):
             best = min(best, time.perf_counter() - t0)
         errs = sample_errors(pos, mass, acc, n_field)
         print(json.dumps(dict(
-            n=n_total, n_core=n_core, mode=mode,
+            n=n_total, n_core=n_core, mode=spec,
             s_per_eval=round(best, 3), n_uncorrected=int(unc), **errs,
         )), flush=True)
 

@@ -8,7 +8,11 @@ wall-clock around ONE dispatched `lax.scan` whose iterations form a data
 dependency chain (each force evaluation feeds the next positions), so no
 iteration can be elided, cached, or overlapped away.
 
-Usage: python -m nbx.bench.throughput [n] [reps] [precision]
+Usage: python -m nbx.bench.throughput [n] [reps] [precision[,precision...]]
+
+precision may be a comma list ("f32r,hyb"): all variants run interleaved in
+THIS process — cross-process TPU timing drifts up to ~1.5x (CLAUDE.md), so
+variant comparisons must come from one process.
 """
 
 from __future__ import annotations
@@ -96,12 +100,15 @@ def main(n: int = 262144, reps: int = 10, precision: str = "f32r"):
     sc = scene.cold_collapse_disk(n=n, seed=0)
     pos = jnp.asarray(sc["pos"])
     mass = jnp.asarray(sc["mass"])
-    rate, ms = measure_rate(pos, mass, reps=reps, precision=precision)
-    print(
-        f"N={n} precision={precision}: {ms:.1f} ms/eval = {rate:.3e} pairs/s",
-        file=sys.stderr,
-    )
-    print({"metric": "pairs_per_sec", "value": rate, "n": n, "precision": precision})
+    rate = 0.0
+    for prec in precision.split(","):
+        rate, ms = measure_rate(pos, mass, reps=reps, precision=prec)
+        print(
+            f"N={n} precision={prec}: {ms:.1f} ms/eval = {rate:.3e} pairs/s",
+            file=sys.stderr,
+        )
+        print({"metric": "pairs_per_sec", "value": rate, "n": n,
+               "precision": prec})
     return rate
 
 

@@ -1228,9 +1228,11 @@ def _packed_bucketed_blocks(
 ):
     """OCCUPANCY-BUCKETED packed layout: each occupied window is assigned
     to the FIRST bucket whose (t_cap, s_cap) covers its target count and
-    max neighbor-strip run (the last bucket takes every remaining window —
-    overflow counted there); each bucket is one compacted pallas_call at
-    its own caps. Single-tier caps must track the densest window's
+    max neighbor-strip run AND whose block budget (bmax) still has room —
+    windows past a bucket's budget SPILL to the next bucket; the last
+    bucket takes every remaining window and is the only place window
+    drops happen (overflow counted there); each bucket is one compacted
+    pallas_call at its own caps. Single-tier caps must track the densest window's
     extreme-value tail, so the bulk of windows pays ~tail/median extra
     pair lanes; bucketing bounds that cap tax (docs/RESULTS.md
     "N-scaling") and covers peaked scenes without tail-sized uniform caps.
@@ -1293,12 +1295,20 @@ def _packed_bucketed_blocks(
             fl = remaining
         else:
             fl = remaining & (cnt_t <= t_cap) & (maxrun <= s_cap)
-        remaining = remaining & ~fl
         flf = fl.reshape(-1)
         wrank = jnp.cumsum(flf.astype(i32)) - 1
+        sel = flf & (wrank < bmax)
+        # SPILL, don't drop: a window past this bucket's block budget
+        # stays in `remaining` and flows to the NEXT bucket (whose caps
+        # get re-checked there); only the last bucket's budget overflow
+        # actually drops windows (counted below). Without the spill, an
+        # undersized bulk budget silently starves scenes the tail bucket
+        # had room for (measured: 0 bounces on a 192-body clustered scene
+        # at bucket-0 bmax=24, round 3).
+        remaining = remaining & ~sel.reshape(cnt_t.shape)
         flags.append(flf)
         wranks.append(wrank)
-        sels.append(flf & (wrank < bmax))
+        sels.append(sel)
 
     # ---- global symmetric-drop mask over sorted positions -----------------
     p_r = jnp.arange(n, dtype=i32)
@@ -1322,8 +1332,10 @@ def _packed_bucketed_blocks(
         t_rows = _round_up(max(t_cap, 8), 8)
         s_capw = max(s_cap, 8)
         s_rows = _round_up(9 * s_capw, LANE)
-        # window-budget drops (whole windows past bmax)
-        n_overflow += jnp.sum(jnp.where(flf & ~sel, cnt_flat, 0))
+        # window-budget drops: only the LAST bucket drops (earlier
+        # buckets spill over-budget windows to the next, see assignment)
+        if bi == len(buckets) - 1:
+            n_overflow += jnp.sum(jnp.where(flf & ~sel, cnt_flat, 0))
         wsel, wvalid = take_rows(sel, bmax)
         col_sel = wsel // n_bands
         w_sel = wsel - col_sel * n_bands
@@ -1340,7 +1352,16 @@ def _packed_bucketed_blocks(
         tgt = feats_sorted[jnp.where(valid_t, take_t, n)].reshape(-1, 16)
 
         ar_s = jnp.arange(s_capw, dtype=i32)
-        if bi == 0:
+        # The whole-grid strips table costs n_cols * n_bands * s_capw rows
+        # REGARDLESS of how many windows the bucket serves — on a peaked
+        # scene at a fine grid (debris disk, g=128: 0.7% occupancy) that is
+        # a multi-GB build for a few thousand windows (measured: remote
+        # compile HTTP 500, round 3). Use it only when the bucket's budget
+        # covers a substantial fraction of the grid; sparse buckets take
+        # the compacted-style direct gathers (the measured-fast path for
+        # exactly that shape, docs/RESULTS.md "peaked scenes covered").
+        use_grid = bi == 0 and 4 * bmax >= n_cols * n_bands
+        if use_grid:
             # bulk: whole-grid strips table + whole-strip chunk gathers
             ss_own = starts[cols[:, None] * g + lo[None, :]]
             se_own = starts[cols[:, None] * g + hi[None, :]]
@@ -1436,12 +1457,13 @@ def _packed_bucketed_blocks(
 
 
 def _invert_order(order, n):
-    """Body id -> sorted position (inverse permutation of cell_sort)."""
-    return (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(n, dtype=jnp.int32))
-    )
+    """Body id -> sorted position (inverse permutation of cell_sort).
+
+    argsort, not the arange-scatter: on v5e the scatter form measured
+    3.7x (131k) to 4.1x (1M) slower (nbx.bench.microops — sorts are fine
+    on this chip, scatters are poison; docs/RESULTS.md round 3)."""
+    del n
+    return jnp.argsort(order).astype(jnp.int32)
 
 
 def _collide_epilogue(
@@ -2089,12 +2111,15 @@ def bucketed_collision_blocks_local(
             fl = remaining
         else:
             fl = remaining & (cnt_t <= t_cap) & (maxrun <= s_cap)
-        remaining = remaining & ~fl
         flf = fl.reshape(-1)
         wrank = jnp.cumsum(flf.astype(i32)) - 1
+        sel = flf & (wrank < bmax)
+        # spill over-budget windows to the next bucket; only the last
+        # bucket's budget drops (see _packed_bucketed_blocks)
+        remaining = remaining & ~sel.reshape(cnt_t.shape)
         flags.append(flf)
         wranks.append(wrank)
-        sels.append(flf & (wrank < bmax))
+        sels.append(sel)
 
     # ---- per-body window mapping (sorted order) ----------------------------
     p_r = jnp.arange(n, dtype=i32)
@@ -2138,7 +2163,9 @@ def bucketed_collision_blocks_local(
         t_rows = _round_up(max(t_cap, 8), 8)
         s_capw = max(s_cap, 8)
         s_rows = _round_up(9 * s_capw, LANE)
-        n_overflow += jnp.sum(jnp.where(flf & ~sel, cnt_flat, 0))
+        # only the LAST bucket's block budget drops (earlier buckets spill)
+        if bi == len(buckets) - 1:
+            n_overflow += jnp.sum(jnp.where(flf & ~sel, cnt_flat, 0))
         wsel, wvalid = take_rows(sel, bmax)
         ocr = wsel // n_bands  # own-column rank
         w_sel = wsel - ocr * n_bands
@@ -2162,7 +2189,10 @@ def bucketed_collision_blocks_local(
 
         neigh_sel = neigh_own[ocr]  # [bmax, 9] local column ids
         ar_s = jnp.arange(s_capw, dtype=i32)
-        if bi == 0:
+        # same occupancy guard as the global bucketed layout: a whole-grid
+        # (here whole-slab) strips table for a bucket serving few windows
+        # is a memory explosion on peaked scenes at fine grids
+        if bi == 0 and 4 * bmax >= n_cols_loc * n_bands:
             # strips table over ALL local columns at this bucket's cap
             valid_so = (
                 ar_s[None, None, :]

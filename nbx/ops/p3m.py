@@ -88,13 +88,21 @@ def cell_bin_full(pos, box_size: float, n_cells: int, max_per_cell: int):
     # rank of each body within its cell
     rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted]
     ok = rank < max_per_cell
-    table = jnp.full((g * g * g, max_per_cell), n, jnp.int32)
-    table = table.at[cid_sorted, jnp.where(ok, rank, max_per_cell)].set(
-        order, mode="drop"
-    )
     counts = starts[1:] - starts[:-1]
+    # table rows are consecutive runs of the sorted order — build by
+    # GATHER (table[c, j] = order[starts[c] + j] for j < min(count, K)),
+    # not the equivalent [C, K]-scatter (scatters measured 4-16x slower
+    # than sort/gather forms — nbx.bench.microops)
+    ar = jnp.arange(max_per_cell, dtype=jnp.int32)
+    valid = ar[None, :] < jnp.minimum(counts, max_per_cell)[:, None]
+    order_p = jnp.concatenate([order, jnp.full((1,), n, jnp.int32)])
+    table = jnp.where(
+        valid, order_p[jnp.minimum(starts[:-1][:, None] + ar, n)], n
+    )
     n_overflow = n - jnp.sum(ok.astype(jnp.int32))
-    dropped = jnp.zeros((n,), bool).at[order].set(~ok)
+    # gather through the inverse permutation, not an N-scatter (scatters
+    # measured 4-16x slower than sort/gather forms — nbx.bench.microops)
+    dropped = ~ok[jnp.argsort(order)]
     return table, counts, n_overflow, dropped
 
 
@@ -108,16 +116,17 @@ def cell_bin(pos, box_size: float, n_cells: int, max_per_cell: int):
 
 def take_rows(mask: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """First-k set rows of a [N] bool mask in index order -> (idx [k],
-    valid [k]). Rank-scatter extraction — NO sort/top_k over the body axis
-    (XLA TPU sorts were the dominant cost in the collision path before the
-    rank-scatter pattern; see nbx.collisions._top_pairs)."""
+    valid [k]). Binary searches over the mask's cumsum — NO sort/top_k over
+    the body axis (XLA TPU sorts over pair space were the dominant cost in
+    the collision path; see nbx.collisions._top_pairs) and NO scatter: the
+    previous rank-scatter form measured 5.7x (131k) to 16x (1M) slower on
+    v5e (nbx.bench.microops, docs/RESULTS.md round 3)."""
     n = mask.shape[0]
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    tgt = jnp.where(mask & (rank < k), rank, k)
-    idx = jnp.full((k,), n, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-    return jnp.minimum(idx, n - 1), idx < n
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    want = jnp.arange(1, k + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(csum, want, side="left").astype(jnp.int32)
+    valid = want <= csum[-1]
+    return jnp.minimum(idx, n - 1), valid
 
 
 def _short_force_mag(s, a, G):
@@ -346,7 +355,7 @@ def _residual_short_acc(
     p_i = jnp.arange(n, dtype=jnp.int32)
     rank_s = p_i - starts[cid_sorted]
     slot_s = jnp.where(rank_s < k, cid_sorted * k + rank_s, g3 * k)
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(p_i)
+    inv = jnp.argsort(order).astype(jnp.int32)  # no N-scatter (microops)
     flat = jnp.concatenate(
         [acc_cells[:g3].reshape(g3 * k, 3), jnp.zeros((1, 3), jnp.float32)],
         axis=0,
@@ -537,7 +546,7 @@ def _residual_rr_twolevel(
     jax.jit,
     static_argnames=("g", "n_cells", "max_per_cell", "max_residual",
                      "deconvolve", "residual_mode", "sub_g", "sub_cells",
-                     "sub_k"),
+                     "sub_k", "pp_impl", "interpret"),
 )
 def p3m_acceleration(
     pos: jax.Array,  # [N, 3] in [0, box/2)^3 (isolated convention)
@@ -554,6 +563,8 @@ def p3m_acceleration(
     sub_g: int = 64,
     sub_cells: int = 16,
     sub_k: int = 64,
+    pp_impl: str = "xla",
+    interpret: bool = False,
 ):
     """Isolated-boundary P3M acceleration, [N, 3]. Returns
     (acc, n_uncorrected).
@@ -578,6 +589,15 @@ def p3m_acceleration(
                  accuracy for those pairs; sub_g/sub_cells/sub_k size the
                  submesh. n_uncorrected then also counts residual bodies
                  dropped from the FINE binning (the no-silent-caps rule).
+
+    pp_impl picks the main short-range pass implementation:
+      'xla'    the lax.map 27-offset path (short_range_acc) — fine at
+               small K; HBM-bound ~1.7e9 pairs/s.
+      'pallas' the VMEM-tiled kernel (nbx.ops.ppkernel) — same kept set,
+               same pair mask, fp-level differences only; the
+               implementation that makes ACCURATE tunes affordable
+               (h <= a/1.7 needs n_cells <= g/5.1, i.e. large K).
+    `interpret` runs the pallas path in interpreter mode (CPU tests).
     """
     cell = box_size / n_cells
     a = cell / 3.0
@@ -615,10 +635,20 @@ def p3m_acceleration(
     table, _, n_overflow, dropped = cell_bin_full(
         pos, box_size, n_cells, max_per_cell
     )
-    acc_short, _ = short_range_acc(
-        pos, mass, G, a, box_size, n_cells, max_per_cell, eps,
-        table=table, n_overflow=n_overflow,
-    )
+    if pp_impl == "pallas":
+        from nbx.ops.ppkernel import short_range_acc_pallas
+
+        acc_short, _ = short_range_acc_pallas(
+            pos, mass, G, a, box_size, n_cells, max_per_cell, eps,
+            interpret=interpret,
+        )
+    elif pp_impl == "xla":
+        acc_short, _ = short_range_acc(
+            pos, mass, G, a, box_size, n_cells, max_per_cell, eps,
+            table=table, n_overflow=n_overflow,
+        )
+    else:
+        raise ValueError(f"pp_impl must be xla|pallas, got {pp_impl!r}")
     # ---- adaptive residual: overflowing bodies get an exact pass ----------
     res_idx, res_valid = take_rows(dropped, max_residual)
     acc_res = _residual_short_acc(

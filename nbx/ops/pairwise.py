@@ -299,6 +299,104 @@ def _mxu_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
         out_ref[:] = out_ref[:] * g_ref[0, 0]
 
 
+def _hyb_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
+    """HYBRID MXU-r^2 / VPU-accumulation variant (round 3): the second
+    attempt at ROADMAP 'kernel headroom', informed by why 'mxu' lost.
+
+    The 'mxu' prototype moved BOTH the r^2 distance work and the force
+    accumulation onto the MXU and measured 2.4x SLOWER than f32r: the
+    accumulation matmul needs [TI, TJ]-shaped bf16 hi/lo operand splits
+    (3 extra [TI, TJ] VPU ops + materialized bf16 copies), which cost more
+    than the VPU dx chain they replaced. This kernel keeps ONLY the cheap
+    half of that trade:
+
+      * r^2 via the centered identity
+            r^2_ij = |p_i - c|^2 + |p_j - c|^2 - 2 (p_i - c).(p_j - c)
+        with the cross term a [TI, 8] @ [8, TJ] HIGHEST matmul — operands
+        are SMALL (8-deep), so the 6-pass f32-exact emulation's
+        decomposition cost amortizes to ~0 per pair, and the MXU output
+        lands as a plain f32 [TI, TJ] block for the VPU. This deletes the
+        dx/dy/dz subtract + square chain (9 [TI, TJ] VPU ops -> ~3).
+      * accumulation stays pure-VPU f32 row reductions, but in the
+        CENTERED mass-folded form: sum_j w (p_j - p_i) =
+        sum_j w (p_j - c) + (c - p_i) sum_j w. The per-pair cost is
+        4 muls + 4 reductions (vs f32r's 3 + w-fold + 3 + 3); no bf16
+        splits, no cancellation at box scale (operands are tile-centered).
+
+    Net [TI, TJ] VPU work: ~14 ops/pair vs f32r's 19 -> bound ~2.5e11
+    pairs/s if VPU-bound and the cross matmul overlaps. MEASURED (round 3,
+    same process, same (1024, 2048) tiles): 1.161e11 vs f32r's 1.538e11 —
+    1.32x SLOWER. The 6-pass HIGHEST cross matmul does not overlap away:
+    at 8-deep contraction the MXU runs at 8/128 utilization x 6 passes,
+    so the "free" matmul costs more than the 5 VPU ops it saves. Second
+    negative for the MXU-r^2 family (after 'mxu', round 2) — kept as a
+    documented study variant; do not use in production.
+
+    Accuracy caveat (same class as 'mxu', measured there at 1.8e-3): the
+    centered-square cancellation amplifies f32 rounding by
+    (tile_spread / r)^2, floored by eps — a precision/speed STUDY variant
+    like 'fast'/'bf16'; f32r remains the exact default.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = tgt_ref[:, 0:1]
+    yi = tgt_ref[:, 1:2]
+    zi = tgt_ref[:, 2:3]
+    xj = src_ref[0:1, :]
+    yj = src_ref[1:2, :]
+    zj = src_ref[2:3, :]
+    m = src_ref[3:4, :]
+    cx = jnp.mean(xj, axis=1, keepdims=True)  # [1, 1] source-tile centroid
+    cy = jnp.mean(yj, axis=1, keepdims=True)
+    cz = jnp.mean(zj, axis=1, keepdims=True)
+    xic, yic, zic = xi - cx, yi - cy, zi - cz  # [TI, 1]
+    xjc, yjc, zjc = xj - cx, yj - cy, zj - cz  # [1, TJ]
+
+    # cross term on the MXU: [TI, 8] @ [8, TJ] -> [TI, TJ] f32
+    zero_i = jnp.zeros_like(xic)
+    a_mat = jnp.concatenate(
+        [xic, yic, zic, zero_i, zero_i, zero_i, zero_i, zero_i], axis=1
+    )
+    zero_j = jnp.zeros_like(xjc)
+    b_mat = jnp.concatenate(
+        [xjc, yjc, zjc, zero_j, zero_j, zero_j, zero_j, zero_j], axis=0
+    )
+    cross = jnp.dot(
+        a_mat, b_mat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TI, TJ]
+
+    ti2 = xic * xic + yic * yic + zic * zic  # [TI, 1], amortized over TJ
+    tj2e = xjc * xjc + yjc * yjc + zjc * zjc + eps2_ref[0, 0]  # [1, TJ]
+    r2 = (ti2 + tj2e) - 2.0 * cross  # ~2-3 [TI, TJ] VPU ops
+    r2 = jnp.maximum(r2, eps2_ref[0, 0])  # cancellation floor
+    inv = jax.lax.rsqrt(r2)
+    inv3 = inv * inv * inv
+    w = inv3 * m  # [TI, TJ] f * m_j
+    # centered mass-folded reductions: 3 muls + 4 row sums
+    sx = jnp.sum(w * xjc, axis=1, keepdims=True)
+    sy = jnp.sum(w * yjc, axis=1, keepdims=True)
+    sz = jnp.sum(w * zjc, axis=1, keepdims=True)
+    sw = jnp.sum(w, axis=1, keepdims=True)
+    # un-center per j-tile ([TI, 1] epilogue, amortized):
+    # sum_j w (p_j - p_i) = s + (c - p_i) sum_w = s - p_ic * sum_w
+    ax = sx - xic * sw
+    ay = sy - yic * sw
+    az = sz - zic * sw
+    zero = jnp.zeros_like(ax)
+    out_ref[:] += jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], 1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = out_ref[:] * g_ref[0, 0]
+
+
 def _bf16_acc_kernel(g_ref, eps2_ref, tgt_ref, src_ref, s_ref, out_ref):
     """bf16-pairwise variant (the precision-study configuration, BASELINE
     config 4): displacements and the force weight in bfloat16, row reduction
@@ -381,6 +479,11 @@ def pairwise_acc(
              centered-square cancellation and the [TI, TJ] operand splits
              cost more than the VPU dx chain they replace. Kept as the
              documented study; do not use in production.
+      'hyb'  round-3 hybrid: r^2 cross term on the MXU (small [TI, 8]
+             operands only), centered mass-folded f32 VPU accumulation —
+             ~14 [TI, TJ] VPU ops/pair vs f32r's 19, no bf16 splits.
+             MEASURED 1.32x slower than f32r (second MXU-r^2 negative;
+             see _hyb_acc_kernel). Same accuracy class as 'mxu'.
     All rates measured with materialized-sync scan timing
     (nbx/bench/throughput.py); non-default variants quoted at (512, 2048).
     """
@@ -428,6 +531,7 @@ def pairwise_acc(
         "fast": _fast_acc_kernel,
         "bf16": _bf16_acc_kernel,
         "mxu": _mxu_acc_kernel,
+        "hyb": _hyb_acc_kernel,
     }[precision]
     flops_per_pair = 22
     out = pl.pallas_call(

@@ -674,6 +674,38 @@ def test_bucketed_matches_packed():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_bucketed_sparse_bucket0_matches_packed():
+    """On a peaked scene whose bucket-0 budget covers only a small
+    fraction of the grid windows (4 * bmax < n_windows), bucket 0 takes
+    the compacted-style direct gathers instead of the whole-grid strips
+    table (which is a multi-GB build at fine grids — measured remote
+    compile failure on the 131k debris disk, round 3). Results must be
+    identical to the covering whole-grid packed layout."""
+    pos, vel, mass = _clustered_scene(seed=11)
+    radius = _radius(mass) * 2.0
+    g, b = 16, 2  # fine grid, peaked scene -> few occupied windows
+    # tiny bulk budget forces the sparse path; generous tail covers rest
+    buckets = ((32, 96, 24), (160, 320, 512))
+    n_windows = g * g * (-(-g // b))
+    assert 4 * buckets[0][2] < n_windows  # the sparse branch is exercised
+    base = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=g, band_cells=b,
+        packed_caps=(160, 320), interpret=True,
+    )
+    buck = binned_collision_pass(
+        pos, vel, mass, radius, BOX, n_cells=g, band_cells=b,
+        buckets=buckets, interpret=True,
+    )
+    dv0, dp0, dt0, best0, nb0, ovf0, _ = base
+    dv1, dp1, dt1, best1, nb1, ovf1, _ = buck
+    assert int(nb1) == int(nb0) > 0
+    assert int(ovf1) == int(ovf0) == 0
+    np.testing.assert_array_equal(np.asarray(best1["j"]),
+                                  np.asarray(best0["j"]))
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv0),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_bucketed_budget_overflow_is_symmetric():
     """Windows past a bucket's block budget drop from BOTH roles (the
     global symmetric-drop mask): overflow is counted and surviving

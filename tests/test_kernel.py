@@ -151,3 +151,17 @@ def test_mxu_precision_budget():
     scale = float(jnp.abs(want).max())
     err = float(jnp.abs(got - want).max()) / scale
     assert err < 0.02, f"mxu rel err {err}"
+
+
+def test_hyb_precision_budget():
+    """Round-3 hybrid (MXU r^2 cross term + centered f32 VPU accumulation)
+    stays within the 'mxu' accuracy class (docs/RESULTS.md)."""
+    pos, mass = _rand(300, 9)
+    want = forces.accelerations(pos, mass, 0.5, 0.5)
+    got = pairwise_acc(
+        pos, mass, 0.5, 0.5, tile_i=8, tile_j=128, precision="hyb",
+        interpret=True,
+    )
+    scale = float(jnp.abs(want).max())
+    err = float(jnp.abs(got - want).max()) / scale
+    assert err < 0.02, f"hyb rel err {err}"

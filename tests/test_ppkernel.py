@@ -1,0 +1,77 @@
+"""Pallas P3M short-range (PP) kernel: parity vs the XLA path.
+
+The kernel must be a drop-in for nbx.ops.p3m.short_range_acc: same kept
+set (first max_per_cell bodies per cell in cell-sorted order), same
+n_overflow, same pair mask — so p3m_acceleration's adaptive-residual
+bookkeeping is implementation-independent. Differences are fp-only (the
+A&S 7.1.26 erfc polynomial, abs err <= 1.5e-7, and reduction order).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbx.ops.p3m import cell_bin_full, p3m_acceleration, short_range_acc
+from nbx.ops.ppkernel import short_range_acc_pallas
+
+
+def _scene(n=700, seed=3, lo=1.0, hi=24.0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    return pos, mass
+
+
+def test_pp_pallas_matches_xla():
+    """Same scene, same (g, K): accelerations match the XLA 27-offset path
+    to fp tolerance and overflow counts are identical."""
+    pos, mass = _scene()
+    box, g, k = 50.0, 6, 12
+    G, a, eps = 0.7, (box / g) / 3.0, 0.05
+    table, _, novf, _ = cell_bin_full(pos, box, g, k)
+    acc_x, novf_x = short_range_acc(
+        pos, mass, G, a, box, g, k, eps, table=table, n_overflow=novf
+    )
+    acc_p, novf_p = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True
+    )
+    assert int(novf_p) == int(novf_x) > 0  # overflowing scene on purpose
+    ax, ap = np.asarray(acc_x), np.asarray(acc_p)
+    scale = np.abs(ax).max()
+    np.testing.assert_allclose(ap, ax, rtol=2e-5, atol=3e-6 * scale)
+
+
+def test_pp_pallas_erfc_accuracy():
+    """The in-kernel A&S 7.1.26 erfc: with a >> scene size (erfc -> 1 in
+    the force law) the short-range pass alone equals the direct softened
+    sum — the same gate the XLA path passes."""
+    from nbx import forces
+
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(5.0 + rng.uniform(0, 1.5, (64, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 64), jnp.float32)
+    acc, ovf = short_range_acc_pallas(
+        pos, mass, 1.0, 1e3, 100.0, 10, max_per_cell=64, eps=0.2,
+        interpret=True,
+    )
+    want = forces.accelerations(pos, mass, 1.0, 0.2)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(want), rtol=2e-3, atol=1e-4
+    )
+
+
+def test_p3m_pallas_impl_end_to_end():
+    """p3m_acceleration(pp_impl='pallas') == pp_impl='xla' to fp tolerance
+    (kept set and residual machinery identical; main pass fp-only)."""
+    pos, mass = _scene(n=900, seed=5)
+    box = 50.0
+    kw = dict(G=1.0, box_size=box, eps=0.1, g=16, n_cells=6,
+              max_per_cell=16, max_residual=256)
+    acc_x, unc_x = p3m_acceleration(pos, mass, **kw, pp_impl="xla")
+    acc_p, unc_p = p3m_acceleration(
+        pos, mass, **kw, pp_impl="pallas", interpret=True
+    )
+    assert int(unc_p) == int(unc_x)
+    ax, ap = np.asarray(acc_x), np.asarray(acc_p)
+    scale = np.abs(ax).max()
+    np.testing.assert_allclose(ap, ax, rtol=2e-5, atol=3e-6 * scale)

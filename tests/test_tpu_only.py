@@ -172,3 +172,26 @@ def test_compiled_local_slab_kernel_matches_interpret():
     err = float(jnp.abs(d_c - d_i).max()) / (float(jnp.abs(d_i).max()) + 1e-12)
     assert err < 1e-5, f"delta mismatch {err}"
     assert (np.asarray(e_c[:, 1]) == np.asarray(e_i[:, 1])).all()  # partners
+
+
+def test_compiled_pp_kernel_matches_interpret():
+    """P3M short-range Pallas kernel (nbx.ops.ppkernel): compiled Mosaic
+    output vs interpret mode — the erfc polynomial, the 128-lane S-axis
+    chunking, and the fused 27-neighborhood blocks are what this pins
+    on-chip (the regular suite gates interpret vs the XLA path only)."""
+    from nbx.ops.ppkernel import short_range_acc_pallas
+
+    rng = np.random.default_rng(6)
+    pos = jnp.asarray(rng.uniform(1.0, 49.0, (2048, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 2048), jnp.float32)
+    outs = {}
+    for interp in (False, True):
+        outs[interp] = short_range_acc_pallas(
+            pos, mass, 0.7, (50.0 / 8) / 3.0, 50.0, 8,
+            max_per_cell=48, eps=0.05, interpret=interp,
+        )
+    (acc_c, ovf_c), (acc_i, ovf_i) = outs[False], outs[True]
+    assert int(ovf_c) == int(ovf_i)
+    err = float(jnp.abs(acc_c - acc_i).max()) / (
+        float(jnp.abs(acc_i).max()) + 1e-12)
+    assert err < 1e-5, f"pp kernel compiled vs interpret {err}"

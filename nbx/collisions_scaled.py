@@ -229,10 +229,11 @@ def resolve_collisions_scaled(
     # ---- place fragments into dead slots -----------------------------------
     fk = frag["mask"].shape[0]  # F * K
     dead = mass <= 0.0
-    drank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-    slot_of_rank = jnp.full((fk,), n, jnp.int32).at[
-        jnp.where(dead & (drank < fk), drank, fk)
-    ].set(i_arange, mode="drop")
+    # first-fk dead slots via take_rows (searchsorted over the cumsum) —
+    # the equivalent N-length rank-scatter measured 5.7-16x slower on v5e
+    # (nbx.bench.microops; docs/RESULTS.md "Scatter hygiene")
+    slot_of_rank, sv = _take_rows(dead, fk)
+    slot_of_rank = jnp.where(sv, slot_of_rank, n)
     frank = jnp.cumsum(frag["mask"].astype(jnp.int32)) - 1
     slot = jnp.where(
         frag["mask"], slot_of_rank[jnp.clip(frank, 0, fk - 1)], n

@@ -358,7 +358,6 @@ def make_spatial_granular_step(
             me_y = (jax.lax.axis_index(ax_y).astype(i32) if two_d
                     else jnp.int32(0))
             me_lin = me_x * d_y + me_y
-            rows = jnp.arange(nl, dtype=i32)
 
             # ---- KDK first half ------------------------------------------
             vel = vel + acc * (0.5 * h)
@@ -398,10 +397,10 @@ def make_spatial_granular_step(
                 arr_i = jnp.concatenate([ri_l, ri_r], axis=0)  # [2M, 3]
                 ok = (arr_i[:, 1] >= 0) & (arr_f[:, 6] > 0.0)
                 dead = mass <= 0.0
-                drank = jnp.cumsum(dead.astype(i32)) - 1
-                slot_of = jnp.full((2 * M,), nl, i32).at[
-                    jnp.where(dead & (drank < 2 * M), drank, 2 * M)
-                ].set(rows, mode="drop")
+                # first-2M dead slots via take_rows, not the nl-length
+                # rank-scatter (scatters 5.7-16x slower; docs/RESULTS.md)
+                slot_of, sv = take_rows(dead, 2 * M)
+                slot_of = jnp.where(sv, slot_of, nl)
                 rrank = jnp.cumsum(ok.astype(i32)) - 1
                 slot = jnp.where(
                     ok, slot_of[jnp.clip(rrank, 0, 2 * M - 1)], nl)
@@ -745,10 +744,10 @@ def make_spatial_granular_step(
             # ---- fragment placement into dead slots ----------------------
             n_fk = frag["mask"].shape[0]  # F * K
             dead = mass <= 0.0
-            drank = jnp.cumsum(dead.astype(i32)) - 1
-            slot_of2 = jnp.full((n_fk,), nl, i32).at[
-                jnp.where(dead & (drank < n_fk), drank, n_fk)
-            ].set(rows, mode="drop")
+            # first-n_fk dead slots via take_rows, not the nl-length
+            # rank-scatter (scatters 5.7-16x slower; docs/RESULTS.md)
+            slot_of2, sv2 = take_rows(dead, n_fk)
+            slot_of2 = jnp.where(sv2, slot_of2, nl)
             frank = jnp.cumsum(frag["mask"].astype(i32)) - 1
             fslot = jnp.where(
                 frag["mask"], slot_of2[jnp.clip(frank, 0, n_fk - 1)], nl

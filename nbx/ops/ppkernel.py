@@ -41,6 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 from nbx.ops.p3m import cell_sort
 
 LANE = 128
+# S-chunk loop unroll bound: small neighborhoods (the collision-kernel
+# regime) unroll; big ones (accurate P3M tunes, K ~ 700 -> 100+ chunks)
+# run a fori_loop so Mosaic's register allocator doesn't spill the
+# unrolled live set to VMEM (170 MB of spill slots at 162 chunks).
+_UNROLL_CHUNKS = 16
 
 # Abramowitz & Stegun 7.1.26 erfc coefficients (x >= 0, abs err 1.5e-7)
 _AS_P = 0.3275911
@@ -52,21 +57,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pp_kernel(par_ref, tgt_ref, src_ref, out_ref):
-    """One cell's targets vs its fused 27-cell source neighborhood.
+    """One target sub-block of a cell vs the cell's fused 27-cell source
+    neighborhood (grid = (cells, k8 // t_sub); the src block's index map
+    is constant along the sub-block axis, so it is fetched once per cell).
 
     par_ref [1, 4] SMEM: eps2, inv_a, c_a (= 2/(a sqrt(pi))), G
-    tgt_ref [K8, 8]     target rows: x y z m 0 0 0 0
+    tgt_ref [T, 8]      target rows: x y z m 0 0 0 0
     src_ref [8, S]      fused neighborhood, lanes = bodies (dead-padded:
                         mass 0, parked far away)
-    out_ref [K8, 8]     = ax ay az 0 0 0 0 0
+    out_ref [T, 8]      = ax ay az 0 0 0 0 0
 
     Force law (p3m.py module docstring):
         acc_i += G m_j [erfc(x)/s^3 + c_a exp(-x^2)/s^2] d,
         x = s/a, s = sqrt(r^2 + eps^2), d = p_j - p_i.
 
-    The S axis is processed in 128-lane chunks with running [K, 1]
-    accumulators (the collision kernel's measured-1.23x pattern: the live
-    [K, chunk] working set stays ~8x smaller than whole-row temporaries).
+    The S axis is processed in 128-lane chunks with LANE-WISE [T, chunk]
+    accumulators and ONE cross-lane reduction after the loop: the
+    earlier running-[K, 1] form paid 3 cross-lane reductions per chunk
+    (~log2(128) shuffle-adds each), which at the accurate P3M tune
+    (162 chunks) rivaled the pair math itself. Few chunks are unrolled;
+    past _UNROLL_CHUNKS the loop becomes a lax.fori_loop — at K=768 full
+    unrolling blew Mosaic's register allocator into 170 MB of VMEM spill
+    slots ("Ran out of memory in memory space vmem ... register allocator
+    spill slots", measured round 3).
     """
     eps2 = par_ref[0, 0]
     inv_a = par_ref[0, 1]
@@ -78,12 +91,14 @@ def _pp_kernel(par_ref, tgt_ref, src_ref, out_ref):
 
     s_rows = src_ref.shape[1]
     chunk = LANE if s_rows % LANE == 0 else s_rows
-    ax = ay = az = None
-    for c in range(s_rows // chunk):
-        s = src_ref[:, c * chunk:(c + 1) * chunk]
+    n_chunks = s_rows // chunk
+
+    def visit(c, carry):
+        ax, ay, az = carry
+        s = src_ref[:, pl.ds(c * chunk, chunk)]
         xj, yj, zj, mj = s[0:1, :], s[1:2, :], s[2:3, :], s[3:4, :]
 
-        dx = xj - xi  # [K, chunk] i -> j
+        dx = xj - xi  # [T, chunk] i -> j
         dy = yj - yi
         dz = zj - zi
         r2 = dx * dx + dy * dy + dz * dz
@@ -105,14 +120,19 @@ def _pp_kernel(par_ref, tgt_ref, src_ref, out_ref):
             mj * (erfc_x * inv_s + c_a * ex2) * (inv_s * inv_s),
             0.0,
         )
-        sx = jnp.sum(w * dx, axis=1, keepdims=True)
-        sy = jnp.sum(w * dy, axis=1, keepdims=True)
-        sz = jnp.sum(w * dz, axis=1, keepdims=True)
-        if ax is None:
-            ax, ay, az = sx, sy, sz
-        else:
-            ax, ay, az = ax + sx, ay + sy, az + sz
+        return ax + w * dx, ay + w * dy, az + w * dz
 
+    acc0 = (jnp.zeros((t.shape[0], chunk), t.dtype),) * 3
+    if n_chunks <= _UNROLL_CHUNKS:
+        ax, ay, az = acc0
+        for c in range(n_chunks):
+            ax, ay, az = visit(c, (ax, ay, az))
+    else:
+        ax, ay, az = jax.lax.fori_loop(0, n_chunks, visit, acc0)
+
+    ax = jnp.sum(ax, axis=1, keepdims=True)
+    ay = jnp.sum(ay, axis=1, keepdims=True)
+    az = jnp.sum(az, axis=1, keepdims=True)
     zero = jnp.zeros_like(ax)
     out_ref[:] = jnp.concatenate(
         [g_sc * ax, g_sc * ay, g_sc * az, zero, zero, zero, zero, zero],
@@ -193,6 +213,9 @@ def short_range_acc_pallas(
     )
 
     k8 = _round_up(max(k, 8), 8)
+    if k8 > LANE:  # 2D-grid sub-blocks must tile k8 exactly
+        k8 = _round_up(k8, LANE)
+    t_sub = min(k8, LANE)
     ar = jnp.arange(k8, dtype=i32)
     base = starts[:c_total]
     valid = ar[None, :] < jnp.minimum(cnt, k)[:, None]  # [C, K8]
@@ -232,18 +255,20 @@ def short_range_acc_pallas(
     )[None, :]
 
     pair_ops = 25
+    n_sub = k8 // t_sub  # target sub-blocks per cell; ts is the FAST grid
+    # axis so the [8, S] src block (index constant in ts) loads once/cell
     out = pl.pallas_call(
         _pp_kernel,
-        grid=(c_total,),
+        grid=(c_total, n_sub),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda c: (0, 0),
+            pl.BlockSpec((1, 4), lambda c, ts: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((k8, 8), lambda c: (c, 0),
+            pl.BlockSpec((t_sub, 8), lambda c, ts: (c * n_sub + ts, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, s_rows), lambda c: (c, 0),
+            pl.BlockSpec((8, s_rows), lambda c, ts: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k8, 8), lambda c: (c, 0),
+        out_specs=pl.BlockSpec((t_sub, 8), lambda c, ts: (c * n_sub + ts, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c_total * k8, 8), f32),
         cost_estimate=pl.CostEstimate(
@@ -252,7 +277,7 @@ def short_range_acc_pallas(
             transcendentals=c_total * k8 * s_rows,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -60,6 +60,52 @@ def test_pp_pallas_erfc_accuracy():
     )
 
 
+def test_pp_pallas_fori_chunk_path():
+    """Big-K tunes (the accurate P3M regime) cross _UNROLL_CHUNKS and run
+    the lax.fori_loop S-chunk loop instead of the unrolled one (unrolled
+    at K=768 the Mosaic register allocator spilled 170 MB of VMEM —
+    round-3 measurement). Gate: the fori path is bit-compatible with the
+    XLA reference at a (g, K) past the unroll bound."""
+    from nbx.ops.ppkernel import _UNROLL_CHUNKS, _round_up
+
+    pos, mass = _scene(n=2200, seed=7, lo=1.0, hi=49.0)
+    box, g, k = 50.0, 4, 80  # k8=80 -> 27*80=2160 -> 17 chunks > 16
+    assert _round_up(27 * _round_up(k, 8), 128) // 128 > _UNROLL_CHUNKS
+    G, a, eps = 0.7, (box / g) / 3.0, 0.05
+    table, _, novf, _ = cell_bin_full(pos, box, g, k)
+    acc_x, novf_x = short_range_acc(
+        pos, mass, G, a, box, g, k, eps, table=table, n_overflow=novf
+    )
+    acc_p, novf_p = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True
+    )
+    assert int(novf_p) == int(novf_x)
+    ax, ap = np.asarray(acc_x), np.asarray(acc_p)
+    scale = np.abs(ax).max()
+    np.testing.assert_allclose(ap, ax, rtol=2e-5, atol=3e-6 * scale)
+
+
+def test_pp_pallas_target_subblock_grid():
+    """K past one 128-lane register block: k8 rounds up to a LANE multiple
+    and the grid gains a target-sub-block axis (n_sub = k8/128 programs
+    per cell, src block loaded once per cell). Parity with the XLA path
+    at (g=3, K=200) -> k8=256, n_sub=2, plus the fori chunk loop."""
+    pos, mass = _scene(n=1200, seed=11, lo=1.0, hi=29.0)
+    box, g, k = 30.0, 3, 200
+    G, a, eps = 0.7, (box / g) / 3.0, 0.05
+    table, _, novf, _ = cell_bin_full(pos, box, g, k)
+    acc_x, novf_x = short_range_acc(
+        pos, mass, G, a, box, g, k, eps, table=table, n_overflow=novf
+    )
+    acc_p, novf_p = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True
+    )
+    assert int(novf_p) == int(novf_x)
+    ax, ap = np.asarray(acc_x), np.asarray(acc_p)
+    scale = np.abs(ax).max()
+    np.testing.assert_allclose(ap, ax, rtol=2e-5, atol=3e-6 * scale)
+
+
 def test_p3m_pallas_impl_end_to_end():
     """p3m_acceleration(pp_impl='pallas') == pp_impl='xla' to fp tolerance
     (kept set and residual machinery identical; main pass fp-only)."""

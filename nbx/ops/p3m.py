@@ -546,7 +546,7 @@ def _residual_rr_twolevel(
     jax.jit,
     static_argnames=("g", "n_cells", "max_per_cell", "max_residual",
                      "deconvolve", "residual_mode", "sub_g", "sub_cells",
-                     "sub_k", "pp_impl", "interpret"),
+                     "sub_k", "pp_impl", "affected_cap", "interpret"),
 )
 def p3m_acceleration(
     pos: jax.Array,  # [N, 3] in [0, box/2)^3 (isolated convention)
@@ -564,6 +564,7 @@ def p3m_acceleration(
     sub_cells: int = 16,
     sub_k: int = 64,
     pp_impl: str = "xla",
+    affected_cap: int = 256,
     interpret: bool = False,
 ):
     """Isolated-boundary P3M acceleration, [N, 3]. Returns
@@ -597,6 +598,15 @@ def p3m_acceleration(
                same pair mask, fp-level differences only; the
                implementation that makes ACCURATE tunes affordable
                (h <= a/1.7 needs n_cells <= g/5.1, i.e. large K).
+               Also swaps the residual-vs-table correction for the
+               scatter-free pallas pass (residual_table_acc_pallas):
+               residuals interact with the kept bodies of ALL cells in
+               the 27-dilation of overflowing cells (a SUPERSET of the
+               XLA path's per-residual neighborhoods — extra pairs carry
+               erfc(>3) ~ 2e-5 weights, strictly less truncation), and
+               n_uncorrected additionally counts bodies losing
+               correction when the dilation exceeds `affected_cap`
+               cells.
     `interpret` runs the pallas path in interpreter mode (CPU tests).
     """
     cell = box_size / n_cells
@@ -651,11 +661,32 @@ def p3m_acceleration(
         raise ValueError(f"pp_impl must be xla|pallas, got {pp_impl!r}")
     # ---- adaptive residual: overflowing bodies get an exact pass ----------
     res_idx, res_valid = take_rows(dropped, max_residual)
-    acc_res = _residual_short_acc(
-        pos, mass, G, a, eps, box_size, n_cells, table, res_idx, res_valid,
-        include_rr=(residual_mode == "dense"),
-    )
     n_uncorrected = jnp.maximum(n_overflow - max_residual, 0)
+    if pp_impl == "pallas":
+        # scatter-free residual-vs-table pass (the XLA form's cell-granular
+        # reaction scatter measured 12.65 s of the 14.3 s accurate-tune
+        # eval on v5e — see nbx.ops.ppkernel.residual_table_acc_pallas);
+        # the rr term is added separately below
+        from nbx.ops.ppkernel import (
+            residual_rr_dense_pallas, residual_table_acc_pallas,
+        )
+
+        acc_res, n_res_missed = residual_table_acc_pallas(
+            pos, mass, G, a, box_size, n_cells, max_per_cell,
+            res_idx, res_valid, eps, affected_cap=affected_cap,
+            interpret=interpret,
+        )
+        n_uncorrected = n_uncorrected + n_res_missed
+        if residual_mode == "dense":
+            acc_res = acc_res + residual_rr_dense_pallas(
+                pos, mass, G, a, box_size, res_idx, res_valid, eps,
+                interpret=interpret,
+            )
+    else:
+        acc_res = _residual_short_acc(
+            pos, mass, G, a, eps, box_size, n_cells, table, res_idx,
+            res_valid, include_rr=(residual_mode == "dense"),
+        )
     if residual_mode == "twolevel":
         acc_rr, n_sub = _residual_rr_twolevel(
             pos, mass, G, eps, a, res_idx, res_valid, sub_g, sub_cells,

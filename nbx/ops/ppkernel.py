@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbx.ops.p3m import cell_sort
+from nbx.ops.p3m import cell_sort, take_rows
 
 LANE = 128
 # S-chunk loop unroll bound: small neighborhoods (the collision-kernel
@@ -119,6 +119,96 @@ def _pp_kernel(par_ref, tgt_ref, src_ref, out_ref):
             (r2 > 0.0) & (mj > 0.0),
             mj * (erfc_x * inv_s + c_a * ex2) * (inv_s * inv_s),
             0.0,
+        )
+        return ax + w * dx, ay + w * dy, az + w * dz
+
+    acc0 = (jnp.zeros((t.shape[0], chunk), t.dtype),) * 3
+    if n_chunks <= _UNROLL_CHUNKS:
+        ax, ay, az = acc0
+        for c in range(n_chunks):
+            ax, ay, az = visit(c, (ax, ay, az))
+    else:
+        ax, ay, az = jax.lax.fori_loop(0, n_chunks, visit, acc0)
+
+    ax = jnp.sum(ax, axis=1, keepdims=True)
+    ay = jnp.sum(ay, axis=1, keepdims=True)
+    az = jnp.sum(az, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    out_ref[:] = jnp.concatenate(
+        [g_sc * ax, g_sc * ay, g_sc * az, zero, zero, zero, zero, zero],
+        axis=1,
+    )
+
+
+def _pp_react_kernel(par_ref, tgt_ref, src_ref, out_ref, react_ref):
+    """Residual targets vs the affected-cell kept sources, BOTH directions.
+
+    par_ref   [1, 4] SMEM: eps2, inv_a, c_a, G
+    tgt_ref   [Tr, 8]  residual rows: x y z m 0 0 0 0 (parked padding)
+    src_ref   [8, S]   ALL affected-cell kept bodies (index map constant:
+                       loaded once, resident across target blocks)
+    out_ref   [Tr, 8]  forward acc on the residual rows (per-block visit)
+    react_ref [8, S]   reaction on the source lanes: rows 0-2 = -G sum_t
+                       w m_t d (index map constant: accumulated across
+                       consecutive grid revisits, zero-initialised at
+                       program 0)
+
+    Same force law and masking as _pp_kernel; the reaction is the column
+    sum over the target rows of each chunk — computed in-registers, so
+    the old [chunk, 27, K, 3] reaction tensor + cell-granular scatter
+    (measured 12.65 s of the 14.3 s accurate-tune eval, round 3) never
+    exists.
+    """
+    eps2 = par_ref[0, 0]
+    inv_a = par_ref[0, 1]
+    c_a = par_ref[0, 2]
+    g_sc = par_ref[0, 3]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        react_ref[:] = jnp.zeros_like(react_ref)
+
+    t = tgt_ref[:]
+    xi, yi, zi, mi = t[:, 0:1], t[:, 1:2], t[:, 2:3], t[:, 3:4]
+
+    s_rows = src_ref.shape[1]
+    chunk = LANE if s_rows % LANE == 0 else s_rows
+    n_chunks = s_rows // chunk
+
+    def visit(c, carry):
+        ax, ay, az = carry
+        sl = pl.ds(c * chunk, chunk)
+        s = src_ref[:, sl]
+        xj, yj, zj, mj = s[0:1, :], s[1:2, :], s[2:3, :], s[3:4, :]
+
+        dx = xj - xi  # [Tr, chunk] i(target) -> j(source)
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz
+        s2 = r2 + eps2
+        inv_s = jax.lax.rsqrt(jnp.where(s2 > 0.0, s2, 1.0))
+        x = (s2 * inv_s) * inv_a
+        ex2 = jnp.exp(-x * x)
+        tt = 1.0 / (1.0 + _AS_P * x)
+        poly = _AS_A[4]
+        for a_k in (_AS_A[3], _AS_A[2], _AS_A[1], _AS_A[0]):
+            poly = poly * tt + a_k
+        erfc_x = poly * tt * ex2
+        wbase = jnp.where(
+            r2 > 0.0,
+            (erfc_x * inv_s + c_a * ex2) * (inv_s * inv_s),
+            0.0,
+        )
+        w = jnp.where(mj > 0.0, wbase * mj, 0.0)  # forward: m_source
+        # reaction on sources: -G sum_t wbase m_t d  (Newton's 3rd law,
+        # the sign/shape of p3m._residual_short_acc's react tensor)
+        wr = wbase * mi  # [Tr, chunk], m_target
+        rx = -g_sc * jnp.sum(wr * dx, axis=0, keepdims=True)  # [1, chunk]
+        ry = -g_sc * jnp.sum(wr * dy, axis=0, keepdims=True)
+        rz = -g_sc * jnp.sum(wr * dz, axis=0, keepdims=True)
+        zr = jnp.zeros_like(rx)
+        react_ref[:, sl] = react_ref[:, sl] + jnp.concatenate(
+            [rx, ry, rz, zr, zr, zr, zr, zr], axis=0
         )
         return ax + w * dx, ay + w * dy, az + w * dz
 
@@ -294,3 +384,289 @@ def short_range_acc_pallas(
     out_p = jnp.concatenate([out, jnp.zeros((1, 8), f32)], axis=0)
     acc = out_p[slot_sorted[inv], :3]
     return acc, n_overflow
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def residual_rr_dense_pallas(
+    pos, mass, G, a, box_size: float, res_idx, res_valid, eps=0.0,
+    interpret: bool = False,
+):
+    """Exact dense residual-residual block on the PP kernel: every
+    residual row against every other (both ordered copies present, so no
+    reaction term). Replaces the chunked-einsum XLA form — at the
+    accurate-tune cap (M = 32768, ~1G pairs) that einsum was the last
+    three-tenths of the eval; on the kernel it is ~0.03 s. Self pairs
+    mask by r2 > 0 and invalid rows are parked dead, exactly the XLA
+    dense block's pair set. Returns an [N, 3] delta."""
+    n = pos.shape[0]
+    m = res_idx.shape[0]
+    f32 = jnp.float32
+    park = jnp.concatenate(
+        [jnp.full((1, 3), 2.0 * box_size, f32), jnp.zeros((1, 5), f32)], 1
+    )
+    feats_body = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [pos, mass[:, None], jnp.zeros((n, 4), f32)], axis=1
+            ),
+            park,
+        ],
+        axis=0,
+    )
+    ridx = jnp.where(res_valid, res_idx, n)
+    rows = feats_body[jnp.minimum(ridx, n)]  # [M, 8]
+    t_sub = LANE
+    m_pad = _round_up(max(m, t_sub), t_sub)
+    if m_pad != m:
+        rows = jnp.concatenate(
+            [rows, jnp.broadcast_to(park, (m_pad - m, 8))], axis=0
+        )
+    srcT = rows.T  # [8, M_pad] — M_pad is a LANE multiple
+
+    a32 = jnp.asarray(a, f32)
+    par = jnp.stack(
+        [
+            jnp.asarray(eps, f32) ** 2,
+            1.0 / a32,
+            2.0 / (a32 * jnp.sqrt(jnp.pi).astype(f32)),
+            jnp.asarray(G, f32),
+        ]
+    )[None, :]
+    out = pl.pallas_call(
+        _pp_kernel,
+        grid=(m_pad // t_sub,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_sub, 8), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m_pad), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_sub, 8), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 8), f32),
+        cost_estimate=pl.CostEstimate(
+            flops=25 * m_pad * m_pad,
+            bytes_accessed=(m_pad * 8 * 3) * 4,
+            transcendentals=m_pad * m_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(par, rows, srcT)
+    delta = jnp.zeros((n + 1, 3), f32).at[ridx].add(
+        jnp.where(res_valid[:, None], out[:m, :3], 0.0), mode="drop"
+    )
+    return delta[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cells", "max_per_cell", "affected_cap",
+                     "interpret"),
+)
+def residual_table_acc_pallas(
+    pos, mass, G, a, box_size: float, n_cells: int, max_per_cell: int,
+    res_idx, res_valid, eps=0.0,
+    affected_cap: int = 256, interpret: bool = False,
+):
+    """Residual-vs-table short-range correction, scatter-free.
+
+    Drop-in for the table half of nbx.ops.p3m._residual_short_acc (the
+    residual-residual term is separate: _residual_rr_dense or the
+    twolevel submesh): each residual body gets its exact short-range
+    force from the kept table bodies, and each kept body the reaction.
+    The XLA implementation folded reactions into a [g^3, K, 3] grid by
+    cell-granular scatter-adds inside a scan — 12.65 s of the 14.3 s
+    accurate-tune eval (round 3, v5e), because the core residuals'
+    neighborhoods all hit the same few cells and TPU scatter serializes
+    duplicate rows. Here:
+
+      targets  the residual rows, padded to [M_pad, 8] (parked padding);
+      sources  kept bodies of the AFFECTED cells — the 27-dilation of
+               overflowing cells (cnt > K), extracted arithmetically on
+               the [g^3] grid — fused into ONE [8, A K8] block whose
+               index map is constant (loaded once, resident across all
+               target blocks);
+      reaction computed in-kernel as per-source-lane column sums into a
+               [8, A K8] output revisited across the grid; it lands back
+               on bodies by a pure GATHER (a kept body's source lane is
+               a function of the cell sort + the sorted affected list).
+
+    Pair coverage is a SUPERSET of the XLA path's 27-neighborhoods
+    (residuals see every affected cell, not just their own neighborhood);
+    the extras carry erfc(>3) ~ 2e-5 weights, i.e. the pass is the same
+    force law with strictly smaller truncation. Affected cells beyond
+    `affected_cap` lose both directions — counted in the returned
+    n_missed (no-silent-caps rule): kept bodies of dropped cells plus
+    residuals in their 27-dilation.
+
+    Returns ([N, 3] delta, n_missed).
+    """
+    n = pos.shape[0]
+    g = n_cells
+    k = max_per_cell
+    c_total = g * g * g
+    m_cap = res_idx.shape[0]
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    order, starts, cid_sorted = cell_sort(pos, box_size, g)
+    cnt = starts[1:] - starts[:-1]  # [C]
+
+    # ---- affected cells: 27-dilation of the overflowing cells ------------
+    occ = (cnt > k).reshape(g, g, g)
+    occ_p = jnp.zeros((g + 2, g + 2, g + 2), bool).at[1:-1, 1:-1, 1:-1].set(
+        occ
+    )
+    aff = jnp.zeros((g, g, g), bool)
+    for di in (0, 1, 2):
+        for dj in (0, 1, 2):
+            for dk in (0, 1, 2):
+                aff = aff | occ_p[di:di + g, dj:dj + g, dk:dk + g]
+    aff_flat = aff.reshape(-1)
+    aff_idx, av = take_rows(aff_flat, affected_cap)
+    aff_sorted = jnp.where(av, aff_idx, c_total)  # increasing, pad last
+
+    # ---- overflow accounting (cells past affected_cap) -------------------
+    arank = jnp.cumsum(aff_flat.astype(i32)) - 1
+    lost = aff_flat & (arank >= affected_cap)
+    kept_per_cell = jnp.minimum(cnt, k)
+    n_lost_react = jnp.sum(jnp.where(lost, kept_per_cell, 0))
+    lost_p = jnp.zeros((g + 2, g + 2, g + 2), bool).at[
+        1:-1, 1:-1, 1:-1
+    ].set(lost.reshape(g, g, g))
+    near_lost = jnp.zeros((g, g, g), bool)
+    for di in (0, 1, 2):
+        for dj in (0, 1, 2):
+            for dk in (0, 1, 2):
+                near_lost = near_lost | lost_p[di:di + g, dj:dj + g,
+                                               dk:dk + g]
+    n_lost_fwd = jnp.sum(jnp.where(
+        near_lost.reshape(-1), jnp.maximum(cnt - k, 0), 0
+    ))
+    n_missed = n_lost_react + n_lost_fwd
+
+    # ---- features in cell-sorted order + parked pad row -------------------
+    feats_sorted = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [pos[order], mass[order][:, None],
+                 jnp.zeros((n, 4), f32)], axis=1,
+            ),
+            jnp.concatenate(
+                [jnp.full((1, 3), 2.0 * box_size, f32),
+                 jnp.zeros((1, 5), f32)], axis=1,
+            ),
+        ],
+        axis=0,
+    )
+
+    # ---- fused sources: kept rows of the affected cells -------------------
+    k8 = _round_up(max(k, 8), 8)
+    ar = jnp.arange(k8, dtype=i32)
+    aff_c = jnp.minimum(aff_idx, c_total - 1)
+    src_valid = av[:, None] & (
+        ar[None, :] < jnp.minimum(cnt[aff_c], k)[:, None]
+    )  # [A, K8]
+    take = jnp.minimum(starts[aff_c][:, None] + ar, n)
+    src_feats = feats_sorted[jnp.where(src_valid, take, n)]  # [A, K8, 8]
+    s_raw = affected_cap * k8
+    s_rows = _round_up(s_raw, LANE)
+    srcT = src_feats.transpose(2, 0, 1).reshape(8, s_raw)
+    if s_rows != s_raw:
+        srcT = jnp.concatenate(
+            [srcT, jnp.broadcast_to(
+                feats_sorted[n][:, None], (8, s_rows - s_raw))],
+            axis=1,
+        )
+
+    # ---- targets: the residual rows (BODY order, not the cell sort) -------
+    t_sub = LANE
+    m_pad = _round_up(max(m_cap, t_sub), t_sub)
+    ridx = jnp.where(res_valid, res_idx, n)
+    feats_body = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [pos, mass[:, None], jnp.zeros((n, 4), f32)], axis=1
+            ),
+            feats_sorted[n][None, :],  # park row
+        ],
+        axis=0,
+    )
+    tgt = feats_body[jnp.minimum(ridx, n)]  # [M, 8] (invalid -> park row)
+    if m_pad != m_cap:
+        tgt = jnp.concatenate(
+            [tgt, jnp.broadcast_to(
+                feats_sorted[n][None, :], (m_pad - m_cap, 8))],
+            axis=0,
+        )
+
+    a32 = jnp.asarray(a, f32)
+    par = jnp.stack(
+        [
+            jnp.asarray(eps, f32) ** 2,
+            1.0 / a32,
+            2.0 / (a32 * jnp.sqrt(jnp.pi).astype(f32)),
+            jnp.asarray(G, f32),
+        ]
+    )[None, :]
+
+    n_tblk = m_pad // t_sub
+    pair_ops = 27
+    facc, react = pl.pallas_call(
+        _pp_react_kernel,
+        grid=(n_tblk,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_sub, 8), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_rows), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_sub, 8), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_rows), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 8), f32),
+            jax.ShapeDtypeStruct((8, s_rows), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=pair_ops * m_pad * s_rows,
+            bytes_accessed=(m_pad * 8 * 2 + s_rows * 8 * 2) * 4,
+            transcendentals=m_pad * s_rows,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # react accumulates
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(par, tgt, srcT)
+
+    # ---- forward epilogue: one M-row scatter-add (once, not per chunk) ----
+    delta = jnp.zeros((n + 1, 3), f32).at[ridx].add(
+        jnp.where(res_valid[:, None], facc[:m_cap, :3], 0.0), mode="drop"
+    )
+
+    # ---- reaction epilogue: pure per-body gather ---------------------------
+    inv = jnp.argsort(order).astype(i32)  # body -> sorted position
+    cid_b = cid_sorted[inv]
+    rank_b = inv - starts[cid_b]
+    wj = jnp.searchsorted(aff_sorted, cid_b).astype(i32)
+    wj_c = jnp.minimum(wj, affected_cap - 1)
+    hit = (
+        (rank_b < k) & (wj < affected_cap) & (aff_sorted[wj_c] == cid_b)
+    )
+    lane = jnp.minimum(wj_c * k8 + rank_b, s_rows - 1)
+    reactT = react.T  # [S, 8]
+    delta = delta.at[:n].add(
+        jnp.where(hit[:, None], reactT[lane, :3], 0.0)
+    )
+    return delta[:n], n_missed

@@ -106,6 +106,104 @@ def test_pp_pallas_target_subblock_grid():
     np.testing.assert_allclose(ap, ax, rtol=2e-5, atol=3e-6 * scale)
 
 
+def test_residual_table_pallas_matches_xla():
+    """The scatter-free residual-vs-table pass == the XLA chunked form
+    (forward + reaction) on an overflowing clustered scene. Cells are
+    sized so beyond-neighborhood pairs carry erfc(>=6) ~ 2e-17 — the
+    pallas pass's superset coverage is then numerically identical."""
+    import jax.numpy as jnp
+    from nbx.ops.p3m import _residual_short_acc, take_rows
+    from nbx.ops.ppkernel import residual_table_acc_pallas
+
+    rng = np.random.default_rng(9)
+    # clustered core that overflows K, plus a quasi-uniform field
+    core = rng.normal(25.0, 1.2, (600, 3))
+    field = rng.uniform(1.0, 49.0, (900, 3))
+    pos = jnp.asarray(np.clip(np.concatenate([core, field]), 1.0, 49.0),
+                      jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 1500), jnp.float32)
+    box, g, k, mr = 50.0, 6, 16, 512
+    G, a, eps = 0.8, (box / g) / 3.0, 0.05
+    table, _, novf, dropped = cell_bin_full(pos, box, g, k)
+    assert int(novf) > 100  # overflowing on purpose
+    res_idx, res_valid = take_rows(dropped, mr)
+    want = _residual_short_acc(
+        pos, mass, G, a, eps, box, g, table, res_idx, res_valid,
+        include_rr=False,
+    )
+    got, n_missed = residual_table_acc_pallas(
+        pos, mass, G, a, box, g, k, res_idx, res_valid, eps,
+        interpret=True,
+    )
+    assert int(n_missed) == 0
+    aw, ag = np.asarray(want), np.asarray(got)
+    scale = np.abs(aw).max()
+    np.testing.assert_allclose(ag, aw, rtol=2e-5, atol=3e-6 * scale)
+    # Newton's third law across the pass: total momentum change ~ 0
+    mom = (np.asarray(mass)[:, None] * ag).sum(0)
+    assert np.abs(mom).max() < 1e-3 * np.abs(
+        np.asarray(mass)[:, None] * ag
+    ).sum()
+
+
+def test_residual_rr_dense_pallas_matches_xla():
+    """residual_table_acc_pallas + residual_rr_dense_pallas together ==
+    the XLA _residual_short_acc(include_rr=True) — the full dense-mode
+    residual correction, scatter-free."""
+    import jax.numpy as jnp
+    from nbx.ops.p3m import _residual_short_acc, take_rows
+    from nbx.ops.ppkernel import (
+        residual_rr_dense_pallas, residual_table_acc_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    core = rng.normal(25.0, 1.2, (600, 3))
+    field = rng.uniform(1.0, 49.0, (900, 3))
+    pos = jnp.asarray(np.clip(np.concatenate([core, field]), 1.0, 49.0),
+                      jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 1500), jnp.float32)
+    box, g, k, mr = 50.0, 6, 16, 512
+    G, a, eps = 0.8, (box / g) / 3.0, 0.05
+    table, _, novf, dropped = cell_bin_full(pos, box, g, k)
+    res_idx, res_valid = take_rows(dropped, mr)
+    want = _residual_short_acc(
+        pos, mass, G, a, eps, box, g, table, res_idx, res_valid,
+        include_rr=True,
+    )
+    tab, _ = residual_table_acc_pallas(
+        pos, mass, G, a, box, g, k, res_idx, res_valid, eps,
+        interpret=True,
+    )
+    rr = residual_rr_dense_pallas(
+        pos, mass, G, a, box, res_idx, res_valid, eps, interpret=True
+    )
+    aw, ag = np.asarray(want), np.asarray(tab + rr)
+    scale = np.abs(aw).max()
+    np.testing.assert_allclose(ag, aw, rtol=2e-5, atol=3e-6 * scale)
+
+
+def test_residual_table_pallas_affected_cap_counted():
+    """Affected cells beyond affected_cap lose correction but are COUNTED
+    (no-silent-caps): n_missed > 0 and the pass still returns finite."""
+    import jax.numpy as jnp
+    from nbx.ops.p3m import take_rows
+    from nbx.ops.ppkernel import residual_table_acc_pallas
+
+    rng = np.random.default_rng(4)
+    pos = jnp.asarray(rng.uniform(1.0, 49.0, (4000, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 4000), jnp.float32)
+    box, g, k = 50.0, 8, 4  # heavy uniform overflow -> many affected cells
+    G, a = 1.0, (box / g) / 3.0
+    _, _, novf, dropped = cell_bin_full(pos, box, g, k)
+    res_idx, res_valid = take_rows(dropped, 1024)
+    got, n_missed = residual_table_acc_pallas(
+        pos, mass, G, a, box, g, k, res_idx, res_valid, 0.05,
+        affected_cap=64, interpret=True,
+    )
+    assert int(n_missed) > 0
+    assert np.isfinite(np.asarray(got)).all()
+
+
 def test_p3m_pallas_impl_end_to_end():
     """p3m_acceleration(pp_impl='pallas') == pp_impl='xla' to fp tolerance
     (kept set and residual machinery identical; main pass fp-only)."""

@@ -28,12 +28,18 @@ in tests/test_p3m.py) with mesh spacing h <= a/1.7 (i.e. g >= ~5-6 n_cells);
 cost O(N + G^3 log G).
 
 Applicability: cell occupancy is handled ADAPTIVELY. Bodies overflowing
-max_per_cell are routed through an exact residual short-range pass
-(_residual_short_acc: each overflowing body against its 27-neighborhood's
-table bodies with the reaction scattered back, plus dense
-residual-residual), so clustered cores keep full accuracy up to
-max_residual overflowing bodies per evaluation; only beyond that cap do
-corrections drop, and the returned count gates it (no-silent-caps). For
+max_per_cell are routed through an exact residual short-range pass —
+the XLA form (_residual_short_acc: each overflowing body against its
+27-neighborhood's table bodies with the reaction scattered back, plus
+dense residual-residual) or, under pp_impl='pallas', the scatter-free
+kernel passes (nbx.ops.ppkernel.residual_table_acc_pallas /
+residual_rr_dense_pallas; the XLA reaction scatter measured 12.65 s of a
+14.3 s eval at the accurate cluster tune) — so clustered cores keep full
+accuracy up to max_residual overflowing bodies per evaluation; only
+beyond that cap do corrections drop, and the returned count gates it
+(no-silent-caps). The measured production tune for a 1M+30k-core scene:
+n_cells=12, max_per_cell=768, pp_impl='pallas', residual_mode='dense' =
+1.376 s/eval at core median error 8.4e-3 (docs/RESULTS.md round 3). For
 collisional cluster cores where most bodies overflow, the exact paths
 (direct-sum Pallas kernel, sharded direct) are still the right tool; P3M
 targets the large-N regime where direct O(N^2) stops paying.

@@ -99,6 +99,8 @@ def main(
     precision: str = "f32r",
     eps_factor: float = 1.0,
     h_div: float = 200.0,
+    diag_every: int = 100,
+    json_out: str | None = None,
 ):
     from nbx import scene
 
@@ -121,37 +123,69 @@ def main(
     # dispatches beyond ~30s of device time (measured; see CLAUDE.md), so
     # long gates run as segments carrying (pos, vel) between dispatches.
     # Each segment re-warms acc with one extra force eval (KDK-consistent).
-    segment = 2000 if n > 20000 else n_steps
+    # Segment size is ADAPTIVE: one diag_every-step probe is compiled and
+    # timed (second run, so compile time is excluded — the warm-exact-
+    # executable rule), then segments target ~20 s of device time each.
+    # At 262k (378 ms/step) that is ~50 steps/dispatch; the old fixed 2000
+    # would be a ~13 min dispatch, an instant worker kill.
     es = []
     done = 0
+    pos, vel, energies = drift_run(
+        pos, vel, mass, G, eps, h, diag_every, diag_every, precision
+    )
+    es.append(np.asarray(energies))
+    done += diag_every
+    t1 = time.time()
+    pos, vel, energies = drift_run(
+        pos, vel, mass, G, eps, h, diag_every, diag_every, precision
+    )
+    es.append(np.asarray(energies)[1:])
+    done += diag_every
+    probe_s = time.time() - t1
+    segment = max(1, int(20.0 * diag_every / max(probe_s, 1e-3) / diag_every))
+    segment *= diag_every
+    print(
+        f"probe: {probe_s:.1f}s / {diag_every} steps -> "
+        f"segment={segment} steps/dispatch",
+        file=sys.stderr,
+    )
     while done < n_steps:
         steps = min(segment, n_steps - done)
+        steps -= steps % diag_every
+        if steps == 0:
+            break
         pos, vel, energies = drift_run(
-            pos, vel, mass, G, eps, h, steps, 100, precision
+            pos, vel, mass, G, eps, h, steps, diag_every, precision
         )
         # materialize: block_until_ready alone is not a reliable sync
         # through the axon relay (see nbx/bench/throughput.py)
-        seg = np.asarray(energies)
-        es.append(seg if done == 0 else seg[1:])  # drop repeated e0
+        es.append(np.asarray(energies)[1:])  # drop repeated e0
         done += steps
     e = np.concatenate(es)
     wall = time.time() - t0
     drift = np.abs(e - e[0]).max() / abs(e[0])
-    rate = n * n * n_steps / wall
+    rate = n * n * done / wall
     print(
         f"E0={e[0]:.6e} drift_max={drift:.3e} wall={wall:.1f}s "
         f"(~{rate:.2e} pairs/s incl. compile)",
         file=sys.stderr,
     )
-    print(
-        {
-            "metric": "relative_energy_drift_10k_steps",
-            "value": float(drift),
-            "gate": 1e-4,
-            "pass": bool(drift < 1e-4),
-            "precision": precision,
-        }
-    )
+    result = {
+        "metric": f"relative_energy_drift_{done}_steps",
+        "value": float(drift),
+        "gate": 1e-4,
+        "pass": bool(drift < 1e-4),
+        "precision": precision,
+        "n": n,
+        "h": h,
+        "eps": eps,
+    }
+    print(result)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(result, f)
     return drift
 
 
@@ -159,4 +193,6 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     prec = sys.argv[3] if len(sys.argv) > 3 else "f32r"
-    main(n, steps, prec)
+    diag = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+    out = sys.argv[5] if len(sys.argv) > 5 else None
+    main(n, steps, prec, diag_every=diag, json_out=out)

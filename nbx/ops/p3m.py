@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erfc
 
-from nbx.ops.pm import _cic_window, cic_deposit, cic_gather, _kvec
+from nbx.ops.pm import _cic_window, cic_deposit, cic_gather
 
 
 def cell_sort(pos, box_size: float, n_cells: int):
@@ -133,6 +133,111 @@ def take_rows(mask: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     idx = jnp.searchsorted(csum, want, side="left").astype(jnp.int32)
     valid = want <= csum[-1]
     return jnp.minimum(idx, n - 1), valid
+
+
+def p3m_tune_for(
+    pos,
+    box_size: float,
+    g_candidates: tuple[int, ...] = (64, 96, 128),
+    cells_candidates: tuple[int, ...] = (8, 10, 12, 16, 20, 24, 28, 32, 40),
+    k_max: int = 768,
+    residual_budget: int = 49152,
+    affected_budget: int = 4096,
+    k_quantile: float = 0.98,
+    pair_budget: float = 8.0e10,
+) -> dict:
+    """Host-side P3M configuration census: pick (g, n_cells, max_per_cell,
+    max_residual, affected_cap) for THIS scene's occupancy.
+
+    The accurate-P3M tune measured in round 3 (n_cells=12, K=768 on the
+    1M+30k-core scene) does NOT transfer to arbitrary geometry: a thin
+    disk concentrates N bodies into a 2D sheet of cells, so per-cell
+    occupancy scales like sigma * cell^2 and a tune sized for a
+    quasi-uniform field overflows by 100x. This helper measures the
+    actual per-cell histogram (numpy, one pass per candidate) and picks
+    the config that maximizes mesh accuracy a/h = g/(3 n_cells) subject
+    to:
+
+      * K = occupancy quantile `k_quantile` (rounded to 128 lanes,
+        <= k_max) — the kept-table premise holds for the bulk;
+      * residuals (bodies past K in their cell) <= residual_budget — the
+        scatter-free pallas residual passes absorb them exactly
+        (residual_rr_dense_pallas is O(M^2) lanes: 49k -> ~0.9e9 pairs);
+      * affected cells (27-dilation of overflowing cells)
+        <= affected_budget (residual_table_acc_pallas's source block);
+      * main-pass pair lanes N * 27 * K8 <= pair_budget (~2.7 s at the
+        measured 29.7 G lane-pairs/s when saturated).
+
+    Returns dict(g, n_cells, max_per_cell, max_residual, affected_cap,
+    a_over_h, n_residual, n_affected, pair_lanes) — kwargs-compatible
+    with p3m_acceleration via the first five keys. Raises ValueError if
+    no candidate fits (scene denser than the budgets allow).
+    Call per scene, or re-call when n_uncorrected goes nonzero."""
+    import numpy as np
+
+    p = np.asarray(pos)
+    best = None
+    best_score = None
+    for n_cells in cells_candidates:
+        h = box_size / n_cells
+        ijk = np.clip((p / h).astype(np.int64), 0, n_cells - 1)
+        cid = (ijk[:, 0] * n_cells + ijk[:, 1]) * n_cells + ijk[:, 2]
+        cnt = np.bincount(cid, minlength=n_cells**3)
+        occ = cnt[cnt > 0]
+        k = int(np.quantile(occ, k_quantile)) if occ.size else 8
+        k = min(max(8, -(-k // 128) * 128 if k > 128 else -(-k // 8) * 8),
+                k_max)
+        n_res = int(np.maximum(cnt - k, 0).sum())
+        if n_res > residual_budget:
+            continue
+        over = (cnt > k).reshape(n_cells, n_cells, n_cells)
+        if n_res:
+            pad = np.zeros((n_cells + 2,) * 3, bool)
+            pad[1:-1, 1:-1, 1:-1] = over
+            aff = np.zeros_like(over)
+            for di in range(3):
+                for dj in range(3):
+                    for dk in range(3):
+                        aff |= pad[di:di + n_cells, dj:dj + n_cells,
+                                   dk:dk + n_cells]
+            n_aff = int(aff.sum())
+        else:
+            n_aff = 0
+        if n_aff > affected_budget:
+            continue
+        k8 = -(-max(k, 8) // 8) * 8
+        if k8 > 128:
+            k8 = -(-k8 // 128) * 128
+        lanes = p.shape[0] * 27 * k8
+        if lanes > pair_budget:
+            continue
+        for g in g_candidates:
+            if g < 3 * n_cells:
+                continue
+            a_over_h = g / (3.0 * n_cells)
+            # accuracy saturates at a/h ~ 1.78 (h <= a/1.7, module
+            # docstring); past it only cost grows — score the clamped
+            # ratio, tie-break on a cost proxy (pair lanes at the
+            # measured ~30 G lanes/s + the padded-FFT volume)
+            cost = lanes / 3.0e10 + ((2 * g) ** 3 * np.log2(2 * g)) / 2.2e9
+            score = (min(a_over_h, 1.78), -cost)
+            if best_score is not None and score <= best_score:
+                continue
+            best_score = score
+            best = dict(
+                g=g, n_cells=n_cells, max_per_cell=k,
+                max_residual=max(256, -(-int(n_res * 1.5) // 256) * 256),
+                affected_cap=max(64, -(-int(n_aff * 1.3) // 64) * 64),
+                a_over_h=a_over_h, n_residual=n_res, n_affected=n_aff,
+                pair_lanes=lanes,
+            )
+    if best is None:
+        raise ValueError(
+            "no P3M tune fits the budgets: the scene is denser than "
+            f"residual_budget={residual_budget} allows at every candidate "
+            "n_cells — raise the budgets or use direct/PM gravity"
+        )
+    return best
 
 
 def _short_force_mag(s, a, G):
@@ -572,6 +677,7 @@ def p3m_acceleration(
     pp_impl: str = "xla",
     affected_cap: int = 256,
     interpret: bool = False,
+    green_hat: jax.Array | None = None,
 ):
     """Isolated-boundary P3M acceleration, [N, 3]. Returns
     (acc, n_uncorrected).
@@ -619,32 +725,16 @@ def p3m_acceleration(
     a = cell / 3.0
 
     # ---- long range: PM with the erf-smoothed free-space Green's function
-    # (isolated boundaries: out-of-box CIC weights dropped, never wrapped)
-    rho = cic_deposit(pos, mass, box_size, g, periodic=False)
-    gp = 2 * g
-    h = box_size / g
-    rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[:g, :g, :g].set(rho)
-    idx = jnp.arange(gp)
-    d1 = jnp.minimum(idx, gp - idx).astype(jnp.float32) * h
-    rx = d1[:, None, None]
-    ry = d1[None, :, None]
-    rz = d1[None, None, :]
-    r = jnp.sqrt(rx**2 + ry**2 + rz**2)
-    # -erf(r/a)/r, finite limit -2/(a sqrt(pi)) at r = 0
-    from jax.scipy.special import erf
+    # (isolated boundaries: out-of-box CIC weights dropped, never wrapped).
+    # All transforms rfftn/irfftn via the shared solve; pass green_hat
+    # (= isolated_green_hat(box, g, a, smoothed=True)) from a frame loop
+    # to skip re-transforming the [2g]^3 Green's function per eval.
+    from nbx.ops.pm import _isolated_solve_r, isolated_green_hat
 
-    safe_r = jnp.where(r > 0, r, 1.0)
-    green = jnp.where(
-        r > 0, -erf(r / a) / safe_r, -2.0 / (a * jnp.sqrt(jnp.pi))
-    )
-    phi_hat = jnp.fft.fftn(rho_p) * jnp.fft.fftn(green) * G
-    kx, ky, kz, _ = _kvec(gp, 2 * box_size)
-    if deconvolve:
-        phi_hat = phi_hat / _cic_window(gp) ** 2
-    ax = jnp.real(jnp.fft.ifftn(1j * kx * phi_hat))
-    ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
-    az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
-    acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:g, :g, :g]
+    rho = cic_deposit(pos, mass, box_size, g, periodic=False)
+    if green_hat is None:
+        green_hat = isolated_green_hat(box_size, g, a, smoothed=True)
+    acc_grid = _isolated_solve_r(rho, G, box_size, g, green_hat, deconvolve)
     acc_long = cic_gather(acc_grid, pos, box_size, g, periodic=False)
 
     # ---- short range: exact pairs within the cell neighborhood

@@ -104,6 +104,79 @@ def _kvec(g: int, box_size: float):
     return kx, ky, kz, k2
 
 
+def _kvec_r(g: int, box_size: float):
+    """fftfreq wavevectors for the rfftn half-spectrum (last axis halved)."""
+    k1 = 2 * jnp.pi * jnp.fft.fftfreq(g, d=box_size / g)
+    kzr = 2 * jnp.pi * jnp.fft.rfftfreq(g, d=box_size / g)
+    return k1[:, None, None], k1[None, :, None], kzr[None, None, :]
+
+
+def _cic_window_r(g: int) -> jax.Array:
+    """_cic_window on the rfftn half-spectrum grid."""
+    w1 = jnp.sinc(jnp.fft.fftfreq(g))
+    wr = jnp.sinc(jnp.fft.rfftfreq(g))
+    w = (
+        w1[:, None, None] ** 2
+        * w1[None, :, None] ** 2
+        * wr[None, None, :] ** 2
+    )
+    return jnp.maximum(w, 0.05)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "smoothed"))
+def isolated_green_hat(
+    box_size: float, g: int, smooth_a=0.0, smoothed: bool = False
+) -> jax.Array:
+    """rfftn of the free-space Green's function on the 2g-padded Hockney
+    grid — POSITION-INDEPENDENT, so callers stepping many frames at fixed
+    (box, g) precompute it ONCE and pass it to pm_solve_grid /
+    p3m_acceleration instead of re-FFT-ing a [2g]^3 volume every force
+    evaluation (at g=128 that FFT is ~1/5 of the whole PM solve).
+
+    smoothed=False: -1/r (plain PM; the r=0 cell uses the standard
+    -1/(h/2) finite value). smoothed=True: -erf(r / smooth_a) / r, the
+    P3M long-range kernel (finite -2/(a sqrt(pi)) at r=0); smooth_a is a
+    dynamic arg so retuning a does not recompile."""
+    gp = 2 * g
+    h = box_size / g
+    idx = jnp.arange(gp)
+    d1 = jnp.minimum(idx, gp - idx).astype(jnp.float32) * h
+    rx = d1[:, None, None]
+    ry = d1[None, :, None]
+    rz = d1[None, None, :]
+    r = jnp.sqrt(rx**2 + ry**2 + rz**2)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    if smoothed:
+        from jax.scipy.special import erf
+
+        a = jnp.asarray(smooth_a, jnp.float32)
+        green = jnp.where(
+            r > 0, -erf(r / a) / safe_r, -2.0 / (a * jnp.sqrt(jnp.pi))
+        )
+    else:
+        green = jnp.where(r > 0, -1.0 / safe_r, -1.0 / (0.5 * h))
+    return jnp.fft.rfftn(green)
+
+
+def _isolated_solve_r(rho, G, box_size: float, g: int, green_hat,
+                      deconvolve: bool = True):
+    """[g, g, g, 3] acceleration grid from a [g]^3 density grid: Hockney
+    zero-padding + the precomputed green_hat, all transforms REAL-valued
+    (rfftn/irfftn — the density and every output are real, so the full
+    complex fftn spectrum was 2x redundant work and memory)."""
+    gp = 2 * g
+    rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[:g, :g, :g].set(rho)
+    phi_hat = jnp.fft.rfftn(rho_p) * green_hat * G
+    if deconvolve:
+        phi_hat = phi_hat / _cic_window_r(gp) ** 2
+    kx, ky, kz = _kvec_r(gp, 2 * box_size)
+    s = (gp, gp, gp)
+    ax = jnp.fft.irfftn(1j * kx * phi_hat, s=s)
+    ay = jnp.fft.irfftn(1j * ky * phi_hat, s=s)
+    az = jnp.fft.irfftn(1j * kz * phi_hat, s=s)
+    return -jnp.stack([ax, ay, az], axis=-1)[:g, :g, :g]
+
+
 @functools.partial(jax.jit, static_argnames=("g", "isolated", "deconvolve"))
 def pm_acceleration(
     pos: jax.Array,  # [N, 3] — must lie in [0, box)^3 for periodic,
@@ -113,50 +186,43 @@ def pm_acceleration(
     g: int = 128,
     isolated: bool = True,
     deconvolve: bool = True,
+    green_hat: jax.Array | None = None,
 ) -> jax.Array:
     """PM gravitational acceleration at each body, [N, 3].
 
     isolated=True solves vacuum boundaries on a 2x zero-padded grid with the
     free-space Green's function (Hockney); False is fully periodic.
     deconvolve divides out the CIC assignment window twice (deposit+gather),
-    sharpening forces near the grid scale.
+    sharpening forces near the grid scale. Pass green_hat
+    (= isolated_green_hat(box, g)) to skip re-FFT-ing the Green's function
+    per evaluation (frame loops at fixed box/g).
     """
     rho = cic_deposit(pos, mass, box_size, g, periodic=not isolated)
-    acc_grid = pm_solve_grid(rho, G, box_size, g, isolated, deconvolve)
+    acc_grid = pm_solve_grid(rho, G, box_size, g, isolated, deconvolve,
+                             green_hat)
     return cic_gather(acc_grid, pos, box_size, g, periodic=not isolated)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "isolated", "deconvolve"))
 def pm_solve_grid(rho, G, box_size: float, g: int,
-                  isolated: bool = True, deconvolve: bool = True):
+                  isolated: bool = True, deconvolve: bool = True,
+                  green_hat: jax.Array | None = None):
     """[g, g, g, 3] acceleration grid from a deposited density grid — the
     FFT solve of pm_acceleration factored out so a SHARDED caller can
     psum per-chip cic_deposit grids into the global density and run this
     (replicated, N-independent) solve without ever gathering bodies
     (nbx.parallel.spatial's halo-exchange step). Jitted for standalone
     use: the axon TPU backend has no EAGER complex-arithmetic kernels
-    (measured: UNIMPLEMENTED on the un-jitted ifftn path)."""
+    (measured: UNIMPLEMENTED on the un-jitted ifftn path).
+
+    The isolated solve runs entirely in rfftn/irfftn (real data — the
+    full complex spectrum was 2x redundant); green_hat short-circuits the
+    Green's-function transform (see isolated_green_hat)."""
     if isolated:
-        gp = 2 * g
-        h = box_size / g
-        rho_p = jnp.zeros((gp, gp, gp), jnp.float32).at[:g, :g, :g].set(rho)
-        # free-space Green's function sampled on the padded grid, with the
-        # standard wrap to keep it circularly symmetric under periodic FFT
-        idx = jnp.arange(gp)
-        d1 = jnp.minimum(idx, gp - idx).astype(jnp.float32) * h
-        rx = d1[:, None, None]
-        ry = d1[None, :, None]
-        rz = d1[None, None, :]
-        r = jnp.sqrt(rx**2 + ry**2 + rz**2)
-        green = jnp.where(r > 0, -1.0 / jnp.where(r > 0, r, 1.0), -1.0 / (0.5 * h))
-        phi_hat = jnp.fft.fftn(rho_p) * jnp.fft.fftn(green) * G
-        kx, ky, kz, _ = _kvec(gp, 2 * box_size)
-        if deconvolve:
-            phi_hat = phi_hat / _cic_window(gp) ** 2
-        ax = jnp.real(jnp.fft.ifftn(1j * kx * phi_hat))
-        ay = jnp.real(jnp.fft.ifftn(1j * ky * phi_hat))
-        az = jnp.real(jnp.fft.ifftn(1j * kz * phi_hat))
-        acc_grid = -jnp.stack([ax, ay, az], axis=-1)[:g, :g, :g]
+        if green_hat is None:
+            green_hat = isolated_green_hat(box_size, g)
+        acc_grid = _isolated_solve_r(rho, G, box_size, g, green_hat,
+                                     deconvolve)
     else:
         kx, ky, kz, k2 = _kvec(g, box_size)
         rho_hat = jnp.fft.fftn(rho)

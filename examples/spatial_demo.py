@@ -10,10 +10,10 @@ x-slab of the collision grid, migrate via ppermute when they cross, and
 see their neighbors through boundary-layer halo exchanges — per-chip
 memory O(N/D). On a single device this still exercises the full protocol
 (D=1); under `JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_
-device_count=8` it runs genuinely sharded. Renders a PNG strip by
-gathering the slab-owned state host-side per snapshot (rendering is a
-diagnostic here, not the production path — see render_sharded for the
-psum-composited multi-chip renderer).
+device_count=8` it runs genuinely sharded. Renders a PNG strip
+DEVICE-SIDE from the slab-owned state (per-chip splat + one image psum,
+nbx.parallel.spatial.render_spatial): no body gather, one [H, W, 3]
+readback per snapshot regardless of N.
 """
 
 import os
@@ -53,11 +53,9 @@ def main(n: int = 8192, n_steps: int = 60, out_dir: str = "/tmp/nbx_spatial"):
     key = jax.random.PRNGKey(0)
 
     os.makedirs(out_dir, exist_ok=True)
-    from nbx.config import body_radius
-    from nbx.render.splat import Camera, splat_frame
+    from nbx.render.splat import Camera
 
     cam = Camera.default()
-    mats = cfg.materials
     shots = []
     for i in range(n_steps):
         st, c = step(st, cfg.dt, jax.random.fold_in(key, i))
@@ -71,18 +69,10 @@ def main(n: int = 8192, n_steps: int = 60, out_dir: str = "/tmp/nbx_spatial"):
                 f"overflow={int(c['n_overflow'])}",
                 flush=True,
             )
-            # gather the slab-owned state host-side for the diagnostic
-            # render (drops the 'b' sharding before re-entering jit)
-            import jax.numpy as jnp
-
-            mass_h = jnp.asarray(np.asarray(st.mass))
-            mat_h = jnp.asarray(np.asarray(st.mat))
-            radius = body_radius(mass_h, mat_h, mats)
-            img = splat_frame(
-                jnp.asarray(np.asarray(st.pos)), radius,
-                jnp.asarray(np.asarray(st.temp)), mat_h,
-                jnp.asarray(live), mats.color1, mats.color2, cam,
-                width=480, height=270,
+            # device-side: per-chip splat of OWNED slots + one image psum
+            # (no body gather; one [H, W, 3] readback regardless of N)
+            img = spatial.render_spatial(
+                mesh, st, cfg, cam, width=480, height=270,
             )
             shots.append(np.asarray(img))
     try:

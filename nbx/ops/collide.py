@@ -98,6 +98,11 @@ CORRECTION = 0.8  # Baumgarte factor (index.html:350)
 HEAT_FRACTION = 0.2  # impact heating fraction (index.html:335)
 DEPTH_SENTINEL = -1e30
 _BIG = 3e38
+# Abramowitz & Stegun 7.1.26 erfc coefficients (keep in sync with
+# nbx.ops.ppkernel — the fused short-range gravity must match the PP
+# kernel's erfc bit-for-bit so both P3M paths share one error budget)
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -230,13 +235,41 @@ def _collide_kernel(neigh_ref, par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
 
 def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     """1D grid, single visit: target strip vs its FULL fused 3x3xk-guard
+    source neighborhood (see _collide_fused_body)."""
+    _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref, None)
+
+
+def _collide_kernel_fused_grav(
+    par_ref, tgt_ref, src_ref, delta_ref, evt_ref, grav_ref
+):
+    """_collide_kernel_fused PLUS the P3M short-range (erfc) gravity sum
+    over the SAME pair blocks — the pairs the collision sweep already
+    visits are exactly the +-1-cell neighborhood the PP pass needs when
+    the P3M split scale is tied to the collision grid (a = cell / 3), so
+    fusing the erfc accumulation into this kernel gives the short-range
+    gravity for free in memory traffic (~15 extra VPU ops + 1 exp per
+    pair lane). par_ref widens to [1, 6] (+ G, 1/a, 2/(a sqrt(pi)),
+    eps^2); grav_ref [T, 8] = G ax, G ay, G az, 0... The erfc uses the
+    A&S 7.1.26 polynomial exactly like nbx.ops.ppkernel (abs err
+    <= 1.5e-7). Force law per /root/reference/index.html:264-291 with
+    the Ewald-style erfc split (nbx.ops.p3m module docstring)."""
+    _collide_fused_body(
+        par_ref, tgt_ref, src_ref, delta_ref, evt_ref, grav_ref
+    )
+
+
+def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
+                        grav_ref):
+    """1D grid, single visit: target strip vs its FULL fused 3x3xk-guard
     source neighborhood.
 
     tgt_ref   [T, 16]  target rows: x y z vx vy vz m r gidx 0...
     src_ref   [16, S]  fused neighborhood, lanes = bodies (dead-padded)
-    par_ref   [1, 2]   SMEM: restitution, friction
+    par_ref   [1, 2]   SMEM: restitution, friction ([1, 6] with grav_ref)
     delta_ref [T, 8]   = dvx dvy dvz dpx dpy dpz heat n_bounce
     evt_ref   [T, 8]   = depth j_gidx vn Q E m_j approaching 0 (deepest)
+    grav_ref  [T, 8]   optional short-range gravity (see
+                       _collide_kernel_fused_grav)
 
     Same physics as _collide_kernel with exact algebraic cuts (measured:
     the kernel is VPU-rate-bound, so ops/pair is the lever):
@@ -264,6 +297,11 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     sc_i = inv_i[:, 0:1]
     e = par_ref[0, 0]
     fric = par_ref[0, 1]
+    if grav_ref is not None:
+        g_sc = par_ref[0, 2]
+        inv_a = par_ref[0, 3]
+        c_a = par_ref[0, 4]
+        eps2 = par_ref[0, 5]
 
     s_rows = src_ref.shape[1]
     chunk = LANE if s_rows % LANE == 0 else s_rows
@@ -314,6 +352,29 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
             jnp.sum(0.5 * vn * tvn, axis=1, keepdims=True),
             jnp.sum(jnp.where(appr, 1.0, 0.0), axis=1, keepdims=True),
         ]
+        if grav_ref is not None:
+            # erfc short-range gravity over the same pair lanes (see
+            # _collide_kernel_fused_grav): w = m_j (erfc(x)/s + c_a
+            # e^-x^2) / s^2, x = s/a, s = sqrt(r^2 + eps^2)
+            s2 = r2 + eps2
+            inv_s = jax.lax.rsqrt(jnp.where(s2 > 0.0, s2, 1.0))
+            x = (s2 * inv_s) * inv_a
+            ex2 = jnp.exp(-x * x)
+            tt = 1.0 / (1.0 + _AS_P * x)
+            poly = _AS_A[4]
+            for a_k in (_AS_A[3], _AS_A[2], _AS_A[1], _AS_A[0]):
+                poly = poly * tt + a_k
+            erfc_x = poly * tt * ex2
+            wg = jnp.where(
+                alive2 & distinct & (r2 > 0.0),
+                mj * (erfc_x * inv_s + c_a * ex2) * (inv_s * inv_s),
+                0.0,
+            )
+            sums += [
+                jnp.sum(wg * dx, axis=1, keepdims=True),
+                jnp.sum(wg * dy, axis=1, keepdims=True),
+                jnp.sum(wg * dz, axis=1, keepdims=True),
+            ]
         # deepest-overlap partner, tie-break by smallest source gidx —
         # including ACROSS chunks: equal depths merge by min gidx, so the
         # pick is independent of chunk/lane position (layout-invariant)
@@ -353,6 +414,45 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
             z8, z8, z8, z8, z8, z8,
         ],
         axis=1,
+    )
+    if grav_ref is not None:
+        grav_ref[:] = jnp.concatenate(
+            [
+                g_sc * acc[8], g_sc * acc[9], g_sc * acc[10],
+                z8, z8, z8, z8, z8,
+            ],
+            axis=1,
+        )
+
+
+def _collide_par(restitution, friction, short_gravity=None):
+    """SMEM parameter row: [1, 2] plain, [1, 6] with fused short-range
+    gravity (G, 1/a, 2/(a sqrt(pi)), eps^2 appended — all dynamic, so
+    retuning G/a/eps never recompiles)."""
+    f32 = jnp.float32
+    if short_gravity is None:
+        return jnp.asarray([[restitution, friction]], f32)
+    G, a, eps = short_gravity
+    a32 = jnp.asarray(a, f32)
+    return jnp.stack([
+        jnp.asarray(restitution, f32), jnp.asarray(friction, f32),
+        jnp.asarray(G, f32), 1.0 / a32,
+        2.0 / (a32 * jnp.sqrt(jnp.pi).astype(f32)),
+        jnp.asarray(eps, f32) ** 2,
+    ])[None, :]
+
+
+def _grav_pallas_extras(short_gravity, t_rows, s_rows, n_blocks):
+    """(kernel fn, extra out_specs, extra out_shapes, par width) for an
+    optionally gravity-fused collision pallas_call."""
+    if short_gravity is None:
+        return _collide_kernel_fused, [], [], 2
+    return (
+        _collide_kernel_fused_grav,
+        [pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                      memory_space=pltpu.VMEM)],
+        [jax.ShapeDtypeStruct((n_blocks * t_rows, 8), jnp.float32)],
+        6,
     )
 
 
@@ -1815,6 +1915,9 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     y0_cell=0,  # with slab_y: global y layer of LOCAL y 0 — TRACED
     slab_y: int | None = None,  # owned y layers (static): 2D slab grid
     #   [slab_x + 2, slab_y + 2, g]; None = the y axis stays whole (1D)
+    short_gravity=None,  # (G, a, eps) dynamic scalars: ALSO accumulate the
+    #   P3M erfc short-range gravity over the same pair blocks
+    #   (_collide_kernel_fused_grav); the return gains a grav element
 ):
     """Band-packed layout + fused kernel over a LOCAL slab grid — the
     per-chip building block of the HALO-EXCHANGE sharded granular step
@@ -1849,7 +1952,8 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     event) — same documented class as the cross-chunk tie rule.
 
     Returns (delta [B*T, 8], evt [B*T, 8], body_slot [nl + 2H] (sentinel
-    for halo/overflow/dead rows), n_overflow over OWNED windows).
+    for halo/overflow/dead rows), n_overflow over OWNED windows); with
+    short_gravity set, (delta, evt, grav [B*T, 8], body_slot, n_overflow).
     """
     n = pos.shape[0]
     g = n_cells
@@ -1871,7 +1975,7 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     f32 = jnp.float32
 
     feats = _body_feats(pos, vel, mass, radius, box_size)
-    par = jnp.asarray([[restitution, friction]], f32)
+    par = _collide_par(restitution, friction, short_gravity)
     order, starts, cid_sorted = cell_sort_slabgrid(
         pos, mass > 0.0, box_size, g, x0_cell, gx,
         y0_cell if two_d else 0, gy,
@@ -1977,11 +2081,14 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
     )
     src = jnp.concatenate([fused, lane_pad], axis=3).reshape(-1, s_rows)
 
-    delta, evt = pl.pallas_call(
-        _collide_kernel_fused,
+    kern, g_specs, g_shapes, par_w = _grav_pallas_extras(
+        short_gravity, t_rows, s_rows, n_tblocks
+    )
+    outs = pl.pallas_call(
+        kern,
         grid=(n_tblocks,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda c: (0, 0),
+            pl.BlockSpec((1, par_w), lambda c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
@@ -1993,11 +2100,11 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + g_specs,
         out_shape=[
             jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_tblocks * t_rows, 8), jnp.float32),
-        ],
+        ] + g_shapes,
         cost_estimate=pl.CostEstimate(
             flops=60 * n_tblocks * t_rows * s_rows,
             bytes_accessed=(n_tblocks * (t_rows * 16 + s_rows * 16
@@ -2010,6 +2117,10 @@ def packed_collision_blocks_local(  # KEEP pallas_call spec in sync with
         ),
         interpret=interpret,
     )(par, tgt, src)
+    if short_gravity is not None:
+        delta, evt, grav = outs
+        return delta, evt, grav, body_slot, n_overflow
+    delta, evt = outs
     return delta, evt, body_slot, n_overflow
 
 
@@ -2029,6 +2140,8 @@ def bucketed_collision_blocks_local(
     interpret: bool = False,
     y0_cell=0,
     slab_y: int | None = None,
+    short_gravity=None,  # (G, a, eps): fuse the P3M erfc short-range sum
+    #   (_collide_kernel_fused_grav); the return gains an out_g element
 ):
     """Occupancy-BUCKETED variant of packed_collision_blocks_local: the
     local slab grid's OWNED windows run in the first bucket whose caps
@@ -2066,7 +2179,7 @@ def bucketed_collision_blocks_local(
     from nbx.ops.p3m import take_rows
 
     feats = _body_feats(pos, vel, mass, radius, box_size)
-    par = jnp.asarray([[restitution, friction]], f32)
+    par = _collide_par(restitution, friction, short_gravity)
     order, starts, cid_sorted = cell_sort_slabgrid(
         pos, mass > 0.0, box_size, g, x0_cell, gx,
         y0_cell if two_d else 0, gy,
@@ -2155,6 +2268,7 @@ def bucketed_collision_blocks_local(
 
     out_d = jnp.zeros((n, 8), f32)
     out_e = jnp.full((n, 8), DEPTH_SENTINEL, f32)
+    out_g = None if short_gravity is None else jnp.zeros((n, 8), f32)
     n_overflow = jnp.int32(0)
     cnt_flat = cnt_t.reshape(-1)
     for bi, ((t_cap, s_cap, bmax), flf, sel, wrank) in enumerate(
@@ -2236,11 +2350,14 @@ def bucketed_collision_blocks_local(
         )
         src = jnp.concatenate([src, lane_pad], axis=2).reshape(-1, s_rows)
 
-        delta, evt = pl.pallas_call(
-            _collide_kernel_fused,
+        kern, g_specs, g_shapes, par_w = _grav_pallas_extras(
+            short_gravity, t_rows, s_rows, bmax
+        )
+        outs = pl.pallas_call(
+            kern,
             grid=(bmax,),
             in_specs=[
-                pl.BlockSpec((1, 2), lambda c: (0, 0),
+                pl.BlockSpec((1, par_w), lambda c: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
@@ -2252,11 +2369,11 @@ def bucketed_collision_blocks_local(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + g_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
                 jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
-            ],
+            ] + g_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=60 * bmax * t_rows * s_rows,
                 bytes_accessed=(bmax * (t_rows * 16 + s_rows * 16
@@ -2269,6 +2386,7 @@ def bucketed_collision_blocks_local(
             ),
             interpret=interpret,
         )(par, tgt, src)
+        delta, evt = outs[0], outs[1]
 
         delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], axis=0)
         evt_p = jnp.concatenate(
@@ -2283,5 +2401,12 @@ def bucketed_collision_blocks_local(
         out_d = out_d + delta_p[body_slot]
         e_k = evt_p[body_slot]
         out_e = jnp.where((e_k[:, 0] > out_e[:, 0])[:, None], e_k, out_e)
+        if short_gravity is not None:
+            grav_p = jnp.concatenate(
+                [outs[2], jnp.zeros((1, 8), f32)], axis=0
+            )
+            out_g = out_g + grav_p[body_slot]
 
+    if short_gravity is not None:
+        return out_d, out_e, out_g, n_overflow
     return out_d, out_e, n_overflow

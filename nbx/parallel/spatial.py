@@ -48,9 +48,16 @@ the distributed-memory design ROADMAP 4c names as the remaining step:
   * Gravity: "pm" deposits local bodies on the pm_grid^3 CIC grid, psums
     the DENSITY grid over the mesh (N-independent comm), and every chip
     runs the replicated FFT solve (nbx.ops.pm.pm_solve_grid) and gathers
-    its own rows; "zero" isolates contact dynamics. Direct-sum gravity
-    wants the all-gather design — use make_sharded_granular_step there
-    (it pays O(N) memory anyway).
+    its own rows; "p3m" adds the ACCURATE short-range term with the split
+    scale tied to the collision grid (a = cell/3): the erfc pair sum is
+    FUSED into the collision kernel's existing pair blocks
+    (nbx.ops.collide._collide_kernel_fused_grav) and therefore reaches
+    exactly the +-1-cell neighborhood the existing halo already ships —
+    accurate P3M gravity at zero extra communication (the long range uses
+    the erf-smoothed Green's function on the same psummed grid; requires
+    pm_grid >= 3 n_cells); "zero" isolates contact dynamics. Direct-sum
+    gravity wants the all-gather design — use make_sharded_granular_step
+    there (it pays O(N) memory anyway).
 
 Divergences from the single-chip collisions_scaled path (all counted or
 tested): fragment RNG streams are per-chip (fold_in(key, chip)) and the
@@ -268,6 +275,53 @@ def spatial_buckets_for(
     return tuple(out)
 
 
+def render_spatial(
+    mesh: Mesh,
+    state: SpatialState,
+    cfg: SimConfig,
+    cam,
+    width: int = 640,
+    height: int = 360,
+    exposure: float = 4.0,
+):
+    """Device-side rendering FROM SPATIAL OWNERSHIP: every chip splats its
+    own slab's live slots (full material colors + temperature glow) into
+    an HDR framebuffer; ONE psum over the mesh composites the additive
+    image; tonemap replicates. The render never gathers bodies — readback
+    ships one [H, W, 3] frame regardless of N, the same psum-composition
+    as nbx.parallel.shard.render_sharded but fed by slab-owned state
+    (VERDICT round-3 item 4: the demo's host-side gather is gone).
+    Additive splats commute, so the composite equals the gathered-state
+    single-device splat to fp addition-order tolerance (gated in
+    tests/test_spatial.py). Works on 1D and 2D spatial meshes.
+    Render fidelity semantics: /root/reference/index.html:446-688."""
+    from nbx.render.colormap import tonemap
+    from nbx.render.splat import splat_bodies_hdr
+
+    mats = cfg.materials
+    axes = tuple(mesh.axis_names)
+    row = axes if len(axes) == 2 else axes[0]
+
+    @jax.jit
+    def run(pos, mass, mat, temp):
+        def local(pos, mass, mat, temp):
+            radius = body_radius(mass, mat, mats)
+            hdr = splat_bodies_hdr(
+                pos, radius, temp, mat, mass > 0.0, mats.color1,
+                mats.color2, cam, width=width, height=height,
+            )
+            return tonemap(jax.lax.psum(hdr, axes), exposure)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(row, None), P(row), P(row), P(row)),
+            out_specs=P(),
+        )(pos, mass, mat, temp)
+
+    return run(state.pos, state.mass, state.mat, state.temp)
+
+
 def make_spatial_granular_step(
     mesh: Mesh,
     cfg: SimConfig,
@@ -319,13 +373,38 @@ def make_spatial_granular_step(
     g = n_cells
     two_d, ax_x, ax_y, d_x, d_y, w_x, w_y = _mesh_split(mesh, g)
     n_dev = mesh.devices.size
-    if force_impl not in ("pm", "zero"):
+    if force_impl not in ("pm", "p3m", "zero"):
         raise ValueError(
-            "spatial step supports force_impl 'pm' | 'zero' (direct-sum "
-            "gravity needs the all-gather design: make_sharded_granular_step)"
+            "spatial step supports force_impl 'pm' | 'p3m' | 'zero' "
+            "(direct-sum gravity needs the all-gather design: "
+            "make_sharded_granular_step)"
         )
-    if force_impl == "pm":
+    if force_impl in ("pm", "p3m"):
         from nbx.ops.pm import cic_deposit, cic_gather, pm_solve_grid
+    green_hat = None
+    if force_impl == "p3m":
+        # P3M with the split scale TIED TO THE COLLISION GRID (a = cell/3):
+        # the erfc short-range pass then reaches exactly +-1 collision
+        # cell, so it rides the EXISTING halo exchange and is fused into
+        # the collision kernel's pair blocks (zero extra comm, zero extra
+        # memory traffic — nbx.ops.collide._collide_kernel_fused_grav);
+        # the erf-smoothed long range runs on the psummed pm_grid mesh.
+        # Mesh-resolution rule (nbx.ops.p3m): h_pm <= a/1.7 wants
+        # pm_grid >= 5.1 g; we require the minimum pm_grid >= 3 g and
+        # leave accuracy/cost to the caller's pm_grid choice. Bodies
+        # dropped by window caps lose their short-range term (counted in
+        # n_overflow); in-transit bodies get PM-only gravity for the hop
+        # step (counted in in_transit).
+        if pm_grid < 3 * g:
+            raise ValueError(
+                f"p3m needs pm_grid >= 3 * n_cells (= {3 * g}) so the "
+                f"mesh resolves the split scale a = cell/3; got {pm_grid}"
+            )
+        from nbx.ops.pm import _isolated_solve_r, isolated_green_hat
+
+        green_hat = isolated_green_hat(
+            box_size, pm_grid, box_size / g / 3.0, smoothed=True
+        )
 
     mats = cfg.materials
     f_cap = cfg.max_fractures
@@ -350,9 +429,15 @@ def make_spatial_granular_step(
             jax.lax.ppermute(pi, ax, perm),
         )
 
+    # green_hat is threaded as a jit ARGUMENT (replicated shard_map
+    # operand), never a closure: closing over the committed complex64
+    # device array makes jax bake it as an MLIR constant, and the D2H
+    # copy that requires is UNIMPLEMENTED on the axon TPU relay for
+    # complex dtypes (measured round 4; floats materialize fine).
     @jax.jit
-    def step(state: SpatialState, h, key):
-        def local(pos, vel, acc, mass, mat, temp, uid, p_uid, ct, uid_next):
+    def _step(state: SpatialState, h, key, gh):
+        def local(pos, vel, acc, mass, mat, temp, uid, p_uid, ct, uid_next,
+                  gh):
             nl = pos.shape[0]
             me_x = jax.lax.axis_index(ax_x).astype(i32)
             me_y = (jax.lax.axis_index(ax_y).astype(i32) if two_d
@@ -525,6 +610,19 @@ def make_spatial_granular_step(
             # ---- gravity on the post-migration shard ---------------------
             if force_impl == "zero":
                 acc_new = jnp.zeros_like(pos)
+            elif force_impl == "p3m":
+                rho = jax.lax.psum(
+                    cic_deposit(pos, mass, box_size, pm_grid,
+                                periodic=False),
+                    AXES,
+                )
+                acc_grid = _isolated_solve_r(
+                    rho, cfg.G, box_size, pm_grid, gh
+                )
+                acc_new = cic_gather(acc_grid, pos, box_size, pm_grid,
+                                     periodic=False)
+                # the short-range erfc term joins from the fused collision
+                # kernel below
             else:
                 rho = jax.lax.psum(
                     cic_deposit(pos, mass, box_size, pm_grid,
@@ -544,22 +642,44 @@ def make_spatial_granular_step(
             uid_a = jnp.concatenate([uid, uid_h], axis=0)
             rad_a = body_radius(mass_a, mat_a, mats)
             n_all = nl + n_halo
+            sg = (
+                (cfg.G, box_size / g / 3.0, cfg.softening)
+                if force_impl == "p3m" else None
+            )
             if buckets is not None:
-                out_d, out_e, novf = bucketed_collision_blocks_local(
+                outs = bucketed_collision_blocks_local(
                     pos_a, vel_a, mass_a, rad_a, box_size, g, band_cells,
                     buckets, cfg.restitution, cfg.friction,
                     me_x * w_x - 1, w_x, interpret,
                     me_y * w_y - 1 if two_d else 0,
                     w_y if two_d else None,
+                    short_gravity=sg,
                 )
+                if sg is not None:
+                    out_d, out_e, out_g, novf = outs
+                    acc_new = acc_new + out_g[:nl, 0:3]
+                else:
+                    out_d, out_e, novf = outs
             else:
-                delta, evt, body_slot, novf = packed_collision_blocks_local(
+                outs = packed_collision_blocks_local(
                     pos_a, vel_a, mass_a, rad_a, box_size, g, band_cells,
                     packed_caps, cfg.restitution, cfg.friction,
                     me_x * w_x - 1, w_x, interpret,
                     me_y * w_y - 1 if two_d else 0,
                     w_y if two_d else None,
+                    short_gravity=sg,
                 )
+                if sg is not None:
+                    delta, evt, grav, body_slot, novf = outs
+                    m_rows = grav.shape[0]
+                    grav_p = jnp.concatenate(
+                        [grav, jnp.zeros((1, 8), jnp.float32)], axis=0
+                    )
+                    acc_new = acc_new + grav_p[
+                        jnp.clip(body_slot[:nl], 0, m_rows)
+                    ][:, 0:3]
+                else:
+                    delta, evt, body_slot, novf = outs
                 out_d, out_e = epilogue_rows(delta, evt, body_slot)
             n_overflow = jax.lax.psum(novf, AXES)
             n_bounces = (
@@ -793,7 +913,7 @@ def make_spatial_granular_step(
             mesh=mesh,
             in_specs=(
                 P(row, None), P(row, None), P(row, None), P(row), P(row),
-                P(row), P(row), P(row), P(row), P(),
+                P(row), P(row), P(row), P(row), P(), P(),
             ),
             out_specs=(
                 P(row, None), P(row, None), P(row, None), P(row), P(row),
@@ -805,7 +925,7 @@ def make_spatial_granular_step(
             check_vma=False,
         )(state.pos, state.vel, state.acc, state.mass, state.mat,
           state.temp, state.uid, state.partner_uid, state.contact_t,
-          state.uid_next)
+          state.uid_next, gh)
         new_state = SpatialState(*out[:10])
         return new_state, {
             "n_merges": out[10], "n_fractures": out[11],
@@ -814,5 +934,11 @@ def make_spatial_granular_step(
             "n_mig_wait": out[16], "n_halo_over": out[17],
             "in_transit": out[18],
         }
+
+    gh_arg = (green_hat if green_hat is not None
+              else jnp.zeros((), jnp.complex64))
+
+    def step(state: SpatialState, h, key):
+        return _step(state, h, key, gh_arg)
 
     return step

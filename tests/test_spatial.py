@@ -694,3 +694,114 @@ def test_spatial_single_device_no_self_clones(eight_devices):
     rows = _by_uid(st)
     assert set(rows.keys()) == {0}
     assert float(np.asarray(st.mass)[rows[0]]) == pytest.approx(9.0)
+
+
+def test_spatial_p3m_matches_single_chip_force(mesh):
+    """force_impl='p3m': the spatial step's acceleration (PM on the
+    psummed grid + erfc short-range FUSED into the collision kernel,
+    riding the existing +-1-cell halo) matches the single-chip
+    p3m_acceleration at the same split (n_cells=G8, a=cell/3) per UID.
+    Differences: A&S-polynomial erfc (abs err 1.5e-7), reduction order,
+    and the band guard's superset pairs beyond one cell (erfc(>3) ~ 2e-5
+    weights) — tolerance-level, not semantic."""
+    from nbx.ops.p3m import p3m_acceleration
+
+    pos, vel, mass = _cloud(n=384, seed=3)
+    cfg = SimConfig(merge_time=1e9, fracture_threshold=1e9)
+    pm_grid = 32  # >= 3 * G8
+    step = spatial.make_spatial_granular_step(
+        mesh, cfg, BOX, G8, 2, (96, 160), halo_cap=192, mig_cap=128,
+        force_impl="p3m", pm_grid=pm_grid, interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh, pos, vel, mass, BOX, G8)
+    # h = 0: no kick/drift, so state.acc after one step IS the P3M force
+    # at the input positions
+    st, c = step(st, 0.0, jax.random.PRNGKey(0))
+    assert int(c["n_overflow"]) == 0 and int(c["n_dropped"]) == 0
+    assert int(c["in_transit"]) == 0
+
+    acc_ref, unc = p3m_acceleration(
+        jnp.asarray(pos), jnp.asarray(mass), cfg.G, BOX, g=pm_grid,
+        n_cells=G8, max_per_cell=256, eps=cfg.softening, max_residual=256,
+        pp_impl="xla",
+    )
+    assert int(unc) == 0
+    acc_ref = np.asarray(acc_ref)
+    got = np.asarray(st.acc)
+    m = _by_uid(st)
+    idx = np.array([m[u] for u in range(384)])
+    scale = np.linalg.norm(acc_ref, axis=1).mean()
+    np.testing.assert_allclose(
+        got[idx], acc_ref, rtol=2e-3, atol=2e-4 * scale
+    )
+
+
+def test_spatial_p3m_2d_mesh(eight_devices):
+    """The fused-p3m spatial step also compiles and agrees on the 2D
+    (x, y)-slab mesh (corner halo traffic carries short-range sources)."""
+    from nbx.ops.p3m import p3m_acceleration
+
+    mesh2 = shard.make_mesh(8, axes=("bx", "by"))
+    pos, vel, mass = _cloud(n=256, seed=5)
+    cfg = SimConfig(merge_time=1e9, fracture_threshold=1e9)
+    step = spatial.make_spatial_granular_step(
+        mesh2, cfg, BOX, G8, 2, (96, 160), halo_cap=192, mig_cap=128,
+        force_impl="p3m", pm_grid=32, interpret=True,
+    )
+    st = spatial.spatial_state_for(mesh2, pos, vel, mass, BOX, G8)
+    st, c = step(st, 0.0, jax.random.PRNGKey(0))
+    assert int(c["n_overflow"]) == 0
+    acc_ref, unc = p3m_acceleration(
+        jnp.asarray(pos), jnp.asarray(mass), cfg.G, BOX, g=32,
+        n_cells=G8, max_per_cell=256, eps=cfg.softening, max_residual=256,
+        pp_impl="xla",
+    )
+    assert int(unc) == 0
+    acc_ref = np.asarray(acc_ref)
+    got = np.asarray(st.acc)
+    m = _by_uid(st)
+    idx = np.array([m[u] for u in range(256)])
+    scale = np.linalg.norm(acc_ref, axis=1).mean()
+    np.testing.assert_allclose(
+        got[idx], acc_ref, rtol=2e-3, atol=2e-4 * scale
+    )
+
+
+def test_render_spatial_matches_gathered(mesh):
+    """Per-chip splat of slab-owned slots + image psum equals the
+    single-device splat of the gathered state (additive splats commute;
+    fp addition-order tolerance)."""
+    from nbx.config import body_radius
+    from nbx.render.colormap import tonemap
+    from nbx.render.splat import Camera, splat_bodies_hdr
+
+    pos, vel, mass = _cloud(n=256, seed=11)
+    cfg = SimConfig()
+    st = spatial.spatial_state_for(mesh, pos, vel, mass, BOX, G8)
+    cam = Camera.default()
+    img = np.asarray(spatial.render_spatial(
+        mesh, st, cfg, cam, width=160, height=90))
+
+    mats = cfg.materials
+    mass_h = jnp.asarray(np.asarray(st.mass))
+    mat_h = jnp.asarray(np.asarray(st.mat))
+    hdr = splat_bodies_hdr(
+        jnp.asarray(np.asarray(st.pos)),
+        body_radius(mass_h, mat_h, mats),
+        jnp.asarray(np.asarray(st.temp)), mat_h, mass_h > 0,
+        mats.color1, mats.color2, cam, width=160, height=90,
+    )
+    ref = np.asarray(tonemap(hdr, 4.0))
+    assert img.shape == ref.shape == (90, 160, 3)
+    np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_render_spatial_2d_mesh(eight_devices):
+    from nbx.render.splat import Camera
+
+    mesh2 = shard.make_mesh(8, axes=("bx", "by"))
+    pos, vel, mass = _cloud(n=128, seed=12)
+    st = spatial.spatial_state_for(mesh2, pos, vel, mass, BOX, G8)
+    img = np.asarray(spatial.render_spatial(
+        mesh2, st, SimConfig(), Camera.default(), width=96, height=54))
+    assert np.isfinite(img).all() and img.max() > 0

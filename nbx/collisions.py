@@ -347,6 +347,237 @@ def resolve_collisions(
     return state, events
 
 
+def resolve_collisions_sequential(
+    state: SimState, cfg: SimConfig, h: jax.Array | float
+) -> tuple[SimState, Events]:
+    """STRICT-SEQUENTIAL collision sweep: the reference's in-place (i, j)
+    pair loop (/root/reference/index.html:301-374) reproduced exactly as a
+    lax.fori_loop over the flattened pair space, so each pair sees every
+    earlier pair's impulses, corrections and heating WITHIN the sweep —
+    the in-sweep visibility the Jacobi path (resolve_collisions)
+    deliberately approximates (module docstring).
+
+    This is the tiny-N parity oracle mode (SURVEY section 7's planned
+    fallback): O(C^2) sequential iterations, no vectorization across
+    pairs — use it only in parity tests and small interactive scenes
+    (capacity <= ~100). Trajectory-level behavior matches tests/oracle.py
+    (the NumPy transliteration) to fp tolerance on contact-cluster scenes
+    where the Jacobi path diverges at O(h); fragment RNG still comes from
+    jax.random, so fracture OUTCOMES differ from any Math.random stream
+    by design.
+
+    Divergences from the reference kept deliberately (both shared with the
+    oracle): at-most-one-event-per-body (the reference's single-sided
+    removedIndices check can double-merge a body, oracle.py module
+    docstring) — and one of its own: births append merges first, then
+    fragments (the reference interleaves them in firing order, L387-389),
+    observable only through FIFO eviction order at capacity.
+    """
+    c = state.capacity
+    mm, ff = cfg.max_merges, cfg.max_fractures
+    i32 = jnp.int32
+    f32 = jnp.float32
+    radius = state.radius(cfg)  # masses are sweep-constant (births later)
+    inv_m = inverse_mass(state.mass)
+
+    def pair_body(p, carry):
+        (pos, vel, temp, contact, visited, removed, n_bounces,
+         m_bufs, f_bufs) = carry
+        i = p // c
+        j = p % c
+        live = (
+            (i < j)
+            & state.alive[i] & state.alive[j]
+            & ~removed[i] & ~removed[j]
+        )
+        d = pos[j] - pos[i]
+        dist2 = jnp.dot(d, d)
+        min_dist = radius[i] + radius[j]
+        overlap = live & (dist2 < min_dist * min_dist)  # L313
+
+        # contact-time accumulate on the symmetric pair slot (L314-319)
+        c_new = jnp.where(overlap, contact[i, j] + h, contact[i, j])
+        contact = contact.at[i, j].set(c_new).at[j, i].set(c_new)
+        visited = visited.at[i, j].max(overlap).at[j, i].max(overlap)
+
+        dist = jnp.sqrt(jnp.where(dist2 > 0, dist2, 1.0))
+        normal = d / dist
+        rel_vel = vel[j] - vel[i]
+        vn = jnp.dot(rel_vel, normal)
+        act = overlap & (vn < 0)  # L327
+
+        inv_sum = inv_m[i] + inv_m[j]
+        safe_inv_sum = jnp.where(inv_sum > 0, inv_sum, 1.0)
+        m_sum = state.mass[i] + state.mass[j]
+        safe_m_sum = jnp.where(m_sum > 0, m_sum, 1.0)
+        mu = state.mass[i] * state.mass[j] / safe_m_sum
+        energy = 0.5 * mu * vn * vn  # L333
+        q = energy / safe_m_sum
+
+        # heating fires for EVERY approaching pair, before the branch
+        # (L335-336) — in-place, so later pairs see it
+        heat_i = jnp.where(act, energy * inv_m[i] * 0.2, 0.0)
+        heat_j = jnp.where(act, energy * inv_m[j] * 0.2, 0.0)
+        temp = temp.at[i].add(heat_i).at[j].add(heat_j)
+
+        merge = act & (c_new > cfg.merge_time) & (
+            q < cfg.fracture_threshold * 2.0
+        )  # L340
+        fract = act & ~merge & (q > cfg.fracture_threshold) & (
+            (state.mass[i] > cfg.min_fragment_mass)
+            | (state.mass[j] > cfg.min_fragment_mass)
+        )  # L348, L354
+        bounce = act & ~merge & ~fract
+
+        # ---- merge payload at fire time (pre-correction state, L392-409)
+        (m_cnt, m_pos, m_vel, m_mass, m_temp, m_mat, m_drop) = m_bufs
+        tot = safe_m_sum
+        slot = jnp.minimum(m_cnt, mm - 1)
+        rec_m = merge & (m_cnt < mm)
+        mpos = (pos[i] * state.mass[i] + pos[j] * state.mass[j]) / tot
+        mvel = (vel[i] * state.mass[i] + vel[j] * state.mass[j]) / tot
+        mtemp = (temp[i] * state.mass[i] + temp[j] * state.mass[j]) / tot
+        mmat = jnp.where(
+            state.mass[i] > state.mass[j], state.mat[i], state.mat[j]
+        )
+        m_pos = m_pos.at[slot].set(jnp.where(rec_m, mpos, m_pos[slot]))
+        m_vel = m_vel.at[slot].set(jnp.where(rec_m, mvel, m_vel[slot]))
+        m_mass = m_mass.at[slot].set(jnp.where(rec_m, m_sum, m_mass[slot]))
+        m_temp = m_temp.at[slot].set(jnp.where(rec_m, mtemp, m_temp[slot]))
+        m_mat = m_mat.at[slot].set(jnp.where(rec_m, mmat, m_mat[slot]))
+        m_cnt = m_cnt + rec_m.astype(i32)
+        m_drop = m_drop + (merge & ~rec_m).astype(i32)
+
+        # ---- position correction: fracture + bounce branches (L350-352)
+        corr = act & ~merge
+        corr_vec = jnp.where(
+            corr, (min_dist - dist) / safe_inv_sum * CORRECTION, 0.0
+        ) * normal
+        pos = pos.at[i].add(-corr_vec * inv_m[i])
+        pos = pos.at[j].add(corr_vec * inv_m[j])
+
+        # ---- fracture payload at fire time (post-correction, L411-443)
+        (f_cnt, f_com, f_bvel, f_energy, f_tot, f_temp, f_mat, f_rsum,
+         f_mid, f_drop) = f_bufs
+        fslot = jnp.minimum(f_cnt, ff - 1)
+        rec_f = fract & (f_cnt < ff)
+        com = (pos[i] * state.mass[i] + pos[j] * state.mass[j]) / tot
+        bvel = (vel[i] * state.mass[i] + vel[j] * state.mass[j]) / tot
+        ftmp = jnp.maximum(temp[i], temp[j]) + (energy / tot) * 0.1
+        fmat = jnp.where(
+            state.mass[i] > state.mass[j], state.mat[i], state.mat[j]
+        )
+        f_com = f_com.at[fslot].set(jnp.where(rec_f, com, f_com[fslot]))
+        f_bvel = f_bvel.at[fslot].set(jnp.where(rec_f, bvel, f_bvel[fslot]))
+        f_energy = f_energy.at[fslot].set(
+            jnp.where(rec_f, energy, f_energy[fslot]))
+        f_tot = f_tot.at[fslot].set(jnp.where(rec_f, m_sum, f_tot[fslot]))
+        f_temp = f_temp.at[fslot].set(jnp.where(rec_f, ftmp, f_temp[fslot]))
+        f_mat = f_mat.at[fslot].set(jnp.where(rec_f, fmat, f_mat[fslot]))
+        f_rsum = f_rsum.at[fslot].set(
+            jnp.where(rec_f, min_dist, f_rsum[fslot]))
+        f_mid = f_mid.at[fslot].set(
+            jnp.where(rec_f, 0.5 * (pos[i] + pos[j]), f_mid[fslot]))
+        f_cnt = f_cnt + rec_f.astype(i32)
+        f_drop = f_drop + (fract & ~rec_f).astype(i32)
+
+        # ---- event bookkeeping: removed bodies skip later pairs (L302-304);
+        # the fired pair's timer is deleted (L344, L357)
+        fired = merge | fract
+        removed = removed.at[i].max(fired).at[j].max(fired)
+        z = jnp.where(fired, 0.0, contact[i, j])
+        contact = contact.at[i, j].set(z).at[j, i].set(z)
+
+        # ---- bounce: normal + friction impulses in place (L361-369)
+        j_imp = jnp.where(bounce, -(1.0 + cfg.restitution) * vn
+                          / safe_inv_sum, 0.0)
+        tangent_raw = rel_vel - vn * normal
+        t_len = jnp.sqrt(jnp.dot(tangent_raw, tangent_raw))
+        tangent = tangent_raw / jnp.where(t_len > 0, t_len, 1.0)
+        jt = jnp.where(bounce, -t_len * cfg.friction / safe_inv_sum, 0.0)
+        imp = j_imp * normal + jt * tangent
+        vel = vel.at[i].add(-imp * inv_m[i])
+        vel = vel.at[j].add(imp * inv_m[j])
+        n_bounces = n_bounces + bounce.astype(i32)
+
+        return (pos, vel, temp, contact, visited, removed, n_bounces,
+                (m_cnt, m_pos, m_vel, m_mass, m_temp, m_mat, m_drop),
+                (f_cnt, f_com, f_bvel, f_energy, f_tot, f_temp, f_mat,
+                 f_rsum, f_mid, f_drop))
+
+    m_bufs0 = (
+        jnp.int32(0), jnp.zeros((mm, 3), f32), jnp.zeros((mm, 3), f32),
+        jnp.zeros((mm,), f32), jnp.zeros((mm,), f32),
+        jnp.zeros((mm,), jnp.int32), jnp.int32(0),
+    )
+    f_bufs0 = (
+        jnp.int32(0), jnp.zeros((ff, 3), f32), jnp.zeros((ff, 3), f32),
+        jnp.zeros((ff,), f32), jnp.zeros((ff,), f32),
+        jnp.zeros((ff,), f32), jnp.zeros((ff,), jnp.int32),
+        jnp.zeros((ff,), f32), jnp.zeros((ff, 3), f32), jnp.int32(0),
+    )
+    (pos, vel, temp, contact, visited, removed, n_bounces, m_bufs,
+     f_bufs) = jax.lax.fori_loop(
+        0, c * c, pair_body,
+        (state.pos, state.vel, state.temp, state.contact,
+         jnp.zeros((c, c), bool), jnp.zeros((c,), bool), jnp.int32(0),
+         m_bufs0, f_bufs0),
+    )
+    (m_cnt, m_pos, m_vel, m_mass, m_temp, m_mat, m_drop) = m_bufs
+    (f_cnt, f_com, f_bvel, f_energy, f_tot, f_temp, f_mat, f_rsum,
+     f_mid, f_drop) = f_bufs
+
+    # prune timers of pairs not in contact this frame (L376-380)
+    contact = jnp.where(visited, contact, 0.0)
+
+    # kills
+    keep = ~removed
+    key, sub = jax.random.split(state.key)
+    state = state.replace(
+        pos=pos, vel=jnp.where(keep[:, None], vel, 0.0),
+        temp=jnp.where(keep, temp, 0.0),
+        alive=state.alive & keep,
+        mass=jnp.where(keep, state.mass, 0.0),
+        acc=jnp.where(keep[:, None], state.acc, 0.0),
+        contact=jnp.where(keep[:, None] & keep[None, :], contact, 0.0),
+        key=key,
+    )
+
+    m_valid = jnp.arange(mm, dtype=i32) < m_cnt
+    f_valid = jnp.arange(ff, dtype=i32) < f_cnt
+    frag = _make_fragments(
+        sub, cfg, f_valid, f_com, f_bvel,
+        jnp.where(f_valid, f_energy, 0.0), f_tot, f_temp, f_mat, f_rsum,
+    )
+    birth_mass = jnp.concatenate(
+        [jnp.where(m_valid, m_mass, 0.0), frag["mass"]])
+    state, n_evicted = add_bodies_batch(
+        state, birth_mass,
+        jnp.concatenate([m_pos, frag["pos"]]),
+        jnp.concatenate([m_vel, frag["vel"]]),
+        jnp.concatenate([m_mat, frag["mat"]]),
+        jnp.concatenate([m_temp, frag["temp"]]),
+        jnp.concatenate([m_valid, frag["mask"]]),
+    )
+    events = Events(
+        merge_pos=m_pos,
+        merge_mass=jnp.where(m_valid, m_mass, 0.0),
+        merge_mask=m_valid,
+        fracture_pos=f_mid,
+        fracture_energy=jnp.where(f_valid, f_energy, 0.0),
+        fracture_mask=f_valid,
+        spawn_pos=frag["pos"],
+        spawn_temp=frag["temp"],
+        spawn_mask=frag["mask"],
+        n_merges=m_cnt,
+        n_fractures=f_cnt,
+        n_bounces=n_bounces,
+        n_evicted=n_evicted,
+        n_dropped=m_drop + f_drop,
+    )
+    return state, events
+
+
 def _make_fragments(
     key: jax.Array,
     cfg: SimConfig,

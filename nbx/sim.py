@@ -69,9 +69,15 @@ def _pallas_available() -> bool:
 
 
 def substep(
-    state: SimState, cfg: SimConfig, h, force_impl: str = "auto"
+    state: SimState, cfg: SimConfig, h, force_impl: str = "auto",
+    collision_impl: str = "jacobi",
 ) -> tuple[SimState, Events]:
-    """One physics substep of size h (reference integrate(), L247-262)."""
+    """One physics substep of size h (reference integrate(), L247-262).
+
+    collision_impl: "jacobi" (default, the parallel sweep) or
+    "sequential" — the strict in-sweep-visibility fori_loop path
+    (resolve_collisions_sequential), the O(C^2)-sequential tiny-N parity
+    mode matching the reference sweep order exactly."""
     half = 0.5 * h
     vel = state.vel + state.acc * half  # half-kick, old acc (L250-251)
     pos = state.pos + vel * h  # drift (L252)
@@ -79,7 +85,12 @@ def substep(
     state = state.replace(pos=pos, vel=vel, acc=acc)
 
     if cfg.collisions:
-        state, events = resolve_collisions(state, cfg, h)  # L256
+        if collision_impl == "sequential":
+            from nbx.collisions import resolve_collisions_sequential
+
+            state, events = resolve_collisions_sequential(state, cfg, h)
+        else:
+            state, events = resolve_collisions(state, cfg, h)  # L256
     else:
         events = empty_events(cfg)
 
@@ -98,26 +109,29 @@ def _merge_events(evs: list[Events]) -> Events:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *evs)
 
 
-@partial(jax.jit, static_argnames=("force_impl",))
+@partial(jax.jit, static_argnames=("force_impl", "collision_impl"))
 def step(
-    state: SimState, cfg: SimConfig, force_impl: str = "auto"
+    state: SimState, cfg: SimConfig, force_impl: str = "auto",
+    collision_impl: str = "jacobi",
 ) -> tuple[SimState, Events]:
     """One frame = cfg.sub_steps substeps of dt / sub_steps (L877-879)."""
     h = cfg.dt / cfg.sub_steps
     evs = []
     for _ in range(cfg.sub_steps):
-        state, e = substep(state, cfg, h, force_impl)
+        state, e = substep(state, cfg, h, force_impl, collision_impl)
         evs.append(e)
     return state, _merge_events(evs)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "force_impl", "diagnostics"))
+@partial(jax.jit, static_argnames=("n_steps", "force_impl", "diagnostics",
+                                   "collision_impl"))
 def run(
     state: SimState,
     cfg: SimConfig,
     n_steps: int,
     force_impl: str = "auto",
     diagnostics: Optional[Callable[[SimState, SimConfig], jax.Array]] = None,
+    collision_impl: str = "jacobi",
 ) -> tuple[SimState, object]:
     """n_steps frames under lax.scan. Returns (final state, stacked aux).
 
@@ -126,7 +140,7 @@ def run(
     """
 
     def body(st, _):
-        st, ev = step(st, cfg, force_impl)
+        st, ev = step(st, cfg, force_impl, collision_impl)
         out = diagnostics(st, cfg) if diagnostics is not None else ev
         return st, out
 

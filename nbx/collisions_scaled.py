@@ -70,7 +70,19 @@ class GranularState(NamedTuple):
 
 
 def make_granular_state(pos, vel, mass, mat=None, temp=None,
-                        key: int | jax.Array = 0) -> GranularState:
+                        key: int | jax.Array = 0,
+                        timer_slots: int = 1) -> GranularState:
+    """timer_slots=1 (default): the round-3 single-deepest-partner timer
+    ([N] partner/contact_t). timer_slots=K>1: a K-slot per-body contact
+    table ([N, K]) that keeps timers alive across deepest-partner
+    ALTERNATION in contact piles — the reference keys timers per PAIR
+    (index.html:314-319), and with one slot a body flip-flopping between
+    two equally-deep partners resets both timers forever (module
+    docstring divergence). With K slots an unobserved partner survives
+    one grace step (sign-encoded in the partner entry), so M <= K
+    alternating partners accrue at rate >= h/M: merges fire within
+    ~M x merge_time of the reference's merge_time (bounded, tested) where
+    the single-slot path never fires."""
     n = pos.shape[0]
     if mat is None:
         mat = jnp.zeros((n,), jnp.int32)
@@ -78,14 +90,15 @@ def make_granular_state(pos, vel, mass, mat=None, temp=None,
         temp = jnp.zeros((n,), jnp.float32)
     if not hasattr(key, "dtype") or key.ndim == 0:
         key = jax.random.PRNGKey(int(key))
+    pshape = (n,) if timer_slots == 1 else (n, timer_slots)
     return GranularState(
         pos=jnp.asarray(pos, jnp.float32),
         vel=jnp.asarray(vel, jnp.float32),
         mass=jnp.asarray(mass, jnp.float32),
         mat=jnp.asarray(mat, jnp.int32),
         temp=jnp.asarray(temp, jnp.float32),
-        partner=jnp.full((n,), -1, jnp.int32),
-        contact_t=jnp.zeros((n,), jnp.float32),
+        partner=jnp.full(pshape, -1, jnp.int32),
+        contact_t=jnp.zeros(pshape, jnp.float32),
         key=key,
     )
 
@@ -152,14 +165,65 @@ def resolve_collisions_scaled(
 
     # ---- per-body contact timer (L314-319 at scale) -----------------------
     has = best["j"] >= 0
-    same = best["j"] == state.partner
-    contact_t = jnp.where(has, jnp.where(same, state.contact_t + h, h), 0.0)
-    partner = jnp.where(has, best["j"], -1)
+    if state.partner.ndim == 1:
+        same = best["j"] == state.partner
+        contact_t = jnp.where(
+            has, jnp.where(same, state.contact_t + h, h), 0.0
+        )
+        partner = jnp.where(has, best["j"], -1)
+        deepest = partner
+        t_mine = contact_t
+        t_table = contact_t  # [N] — partner's timer read directly
+    else:
+        # K-SLOT table (make_granular_state docstring): entries are
+        # FRESH (p >= 0), MISSED once (-p - 2: sign-encoded grace so an
+        # alternating partner's timer survives the steps it is not the
+        # deepest), or EMPTY (-1). Per step, with obs = this substep's
+        # deepest partner: the matching slot goes fresh and accrues +h;
+        # unmatched fresh slots go missed (timer kept); unmatched missed
+        # slots are pruned (the reference prunes after ONE non-contact
+        # frame, L376-380 — the extra grace step is the documented cost
+        # of only observing the deepest partner).
+        P, T = state.partner, state.contact_t  # [N, K]
+        k_slots = P.shape[1]
+        obs = jnp.where(has, best["j"], -2)  # -2 matches nothing
+        pdec = jnp.where(P >= 0, P, -P - 2)  # decoded partner (-1 empty)
+        entry_live = P != -1
+        match = entry_live & (pdec == obs[:, None])  # [N, K]
+        matched_any = jnp.any(match, axis=1)
+        fresh_unm = (P >= 0) & ~match
+        P = jnp.where(match, obs[:, None],
+                      jnp.where(fresh_unm, -P - 2, -1))
+        T = jnp.where(match, T + h, jnp.where(fresh_unm, T, 0.0))
+        # insert an unmatched observation: first empty slot, else the
+        # smallest-timer slot (LRU-by-accrual eviction)
+        need = has & ~matched_any
+        score = jnp.where(P == -1, -1.0, T)  # empties sort first
+        slot = jnp.argmin(score, axis=1)  # [N]
+        row = i_arange
+        P = P.at[row, slot].set(
+            jnp.where(need, obs, P[row, slot]))
+        T = T.at[row, slot].set(jnp.where(need, h, T[row, slot]))
+        partner, contact_t = P, T
+        deepest = jnp.where(has, best["j"], -1)
+        # my timer for the deepest partner = the matching slot's value
+        pdec2 = jnp.where(P >= 0, P, -P - 2)
+        sel = (P != -1) & (pdec2 == jnp.where(has, best["j"], -2)[:, None])
+        t_mine = jnp.max(jnp.where(sel, T, 0.0), axis=1)  # [N]
+        t_table = None  # partner side resolved below (per-pair lookup)
 
     # ---- event gates on mutual partners (L340-359) ------------------------
-    jc = jnp.clip(partner, 0, n - 1)
-    mutual = has & (partner[jc] == i_arange)
-    t_pair = jnp.minimum(contact_t, contact_t[jc])
+    jc = jnp.clip(deepest, 0, n - 1)
+    mutual = has & (deepest[jc] == i_arange)
+    if state.partner.ndim == 1:
+        t_pair = jnp.minimum(t_mine, t_table[jc])
+    else:
+        # partner's timer FOR ME: look me up in row jc's slot table
+        Pj = partner[jc]  # [N, K]
+        pdecj = jnp.where(Pj >= 0, Pj, -Pj - 2)
+        selj = (Pj != -1) & (pdecj == i_arange[:, None])
+        t_theirs = jnp.max(jnp.where(selj, contact_t[jc], 0.0), axis=1)
+        t_pair = jnp.minimum(t_mine, t_theirs)
     q = best["q"]
     appr = best["approaching"]
     m_i, m_j = state.mass, state.mass[jc]
@@ -249,8 +313,9 @@ def resolve_collisions_scaled(
     # ---- reset contact bookkeeping on every touched slot -------------------
     touched = primary_m | killed | fkill
     touched = touched.at[slot].set(True, mode="drop")
-    partner = jnp.where(touched, -1, partner)
-    contact_t = jnp.where(touched, 0.0, contact_t)
+    t_b = touched if partner.ndim == 1 else touched[:, None]
+    partner = jnp.where(t_b, -1, partner)
+    contact_t = jnp.where(t_b, 0.0, contact_t)
 
     # ---- event log ----------------------------------------------------------
     mi_idx, m_valid = _take_rows(primary_m, cfg.max_merges)
@@ -292,6 +357,7 @@ def resolve_collisions_scaled(
     static_argnames=(
         "n_steps", "n_cells", "max_per_cell", "band_cells", "packed_caps",
         "max_blocks", "buckets", "force_impl", "pm_grid", "interpret",
+        "p3m_cells", "p3m_k", "p3m_max_residual", "log_events",
     ),
 )
 def granular_full_kdk_scan(
@@ -308,41 +374,75 @@ def granular_full_kdk_scan(
     force_impl: str = "auto",
     pm_grid: int = 128,
     interpret: bool = False,
+    p3m_cells: int = 16,
+    p3m_k: int = 32,
+    p3m_max_residual: int = 8192,
+    log_events: bool = False,
 ):
     """Full-physics granular loop at scale: KDK gravity + fused-kernel
     collisions (bounce/merge/fracture/timers) + thermal decay, reference
     substep ordering (index.html:247-262). Returns (state, totals) where
     totals aggregates the per-step counters (max for overflow/flags).
+    With log_events=True returns (state, totals, events) where events is
+    the per-step ScaledEvents stack (leaves [n_steps, ...]) — the
+    renderer's flash/explosion feed (nbx.render.pipeline.render_granular).
 
     force_impl: the nbx.sim.gravity dispatchers (auto|dense|blocked|pallas)
     plus "pm" — the particle-mesh solver on a pm_grid^3 isolated mesh over
-    the same [0, box)^3 domain as the collision binning — and "zero" (no
-    gravity: pure contact dynamics, also the collision-cost isolation mode
-    for benchmarks). PM turns the gravity half of a 1M-body collisional
-    step from ~6 s (direct) into ~0.8 s, the right trade for
+    the same [0, box)^3 domain as the collision binning — "p3m" — the
+    accurate particle-particle/particle-mesh split (nbx.ops.p3m: PM part on
+    the pm_grid^3 mesh, exact erfc pairs within p3m_cells-grid
+    neighborhoods at p3m_k bodies/cell, adaptive residual for overflowing
+    cells; the tune that measured 1.376 s/eval at 8.4e-3 core error on the
+    1M+30k scene is p3m_cells=12, p3m_k=768 — docs/RESULTS.md) — and
+    "zero" (no gravity: pure contact dynamics, also the collision-cost
+    isolation mode for benchmarks). PM turns the gravity half of a 1M-body
+    collisional step from ~6 s (direct) into ~0.8 s, the right trade for
     collisionless-scale gravity + collisional contact dynamics (planetary
-    rings, debris disks)."""
+    rings, debris disks); P3M restores small-scale force accuracy on
+    clustered scenes (merging galaxy cores) at ~2x PM cost."""
     from nbx.sim import gravity
 
     if force_impl == "pm":
         from nbx.ops.pm import pm_acceleration
+    green_hat = None
+    if force_impl == "p3m":
+        from nbx.ops.p3m import p3m_acceleration
+        from nbx.ops.pm import isolated_green_hat
+
+        # loop-invariant: the smoothed Green's-function transform depends
+        # only on (box, pm_grid, a) — computed once per scan call, not per
+        # force evaluation (a [2g]^3 rfftn saved per step)
+        green_hat = isolated_green_hat(
+            box_size, pm_grid, box_size / p3m_cells / 3.0, smoothed=True
+        )
 
     h = cfg.dt / cfg.sub_steps
+    z = jnp.int32(0)
 
     def _force(pos, mass):
+        """-> (acc, n_uncorrected); n_uncorrected is p3m's dropped-
+        correction count (0 for every other impl — no silent caps)."""
         if force_impl == "zero":
-            return jnp.zeros_like(pos)
+            return jnp.zeros_like(pos), z
         if force_impl == "pm":
             return pm_acceleration(
                 pos, mass, cfg.G, box_size, g=pm_grid, isolated=True
+            ), z
+        if force_impl == "p3m":
+            return p3m_acceleration(
+                pos, mass, cfg.G, box_size, g=pm_grid, n_cells=p3m_cells,
+                max_per_cell=p3m_k, eps=cfg.softening,
+                max_residual=p3m_max_residual, pp_impl="pallas",
+                interpret=interpret, green_hat=green_hat,
             )
-        return gravity(pos, mass, cfg.G, cfg.softening, force_impl)
+        return gravity(pos, mass, cfg.G, cfg.softening, force_impl), z
 
     def body(carry, _):
-        st, acc, nb, nm, nf, ovf, drop, small = carry
+        st, acc, nb, nm, nf, ovf, drop, small, unc = carry
         vel = st.vel + acc * (0.5 * h)
         pos = st.pos + vel * h
-        acc2 = _force(pos, st.mass)
+        acc2, n_unc = _force(pos, st.mass)
         st = st._replace(pos=pos, vel=vel)
         st, ev = resolve_collisions_scaled(
             st, cfg, h, box_size, n_cells, max_per_cell, band_cells,
@@ -362,16 +462,20 @@ def granular_full_kdk_scan(
             jnp.maximum(ovf, ev.n_overflow),
             drop + ev.n_dropped,
             small | ev.cell_too_small,
-        ), None
+            jnp.maximum(unc, n_unc),
+        ), (ev._replace(touched=jnp.zeros((0,), bool)) if log_events
+            else None)
 
-    acc0 = _force(state.pos, state.mass)
-    z = jnp.int32(0)
-    init = (state, acc0, z, z, z, z, z, jnp.bool_(False))
-    (st, _, nb, nm, nf, ovf, drop, small), _ = jax.lax.scan(
+    acc0, unc0 = _force(state.pos, state.mass)
+    init = (state, acc0, z, z, z, z, z, jnp.bool_(False), unc0)
+    (st, _, nb, nm, nf, ovf, drop, small, unc), ev_stack = jax.lax.scan(
         body, init, None, length=n_steps
     )
     totals = dict(
         n_bounces=nb, n_merges=nm, n_fractures=nf,
         n_overflow=ovf, n_dropped=drop, cell_too_small=small,
+        n_uncorrected=unc,
     )
+    if log_events:
+        return st, totals, ev_stack
     return st, totals

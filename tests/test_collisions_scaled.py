@@ -835,3 +835,106 @@ def test_bucketed_fuzz_parity():
         np.testing.assert_allclose(np.asarray(buck[0]), np.asarray(base[0]),
                                    rtol=1e-4, atol=1e-6,
                                    err_msg=f"trial {trial}")
+
+
+def _alternating_pile(timer_slots):
+    """A(0) - i(1) - B(2) in a row, i overlapping BOTH; per step the test
+    nudges which neighbor is nearer, so i's DEEPEST partner alternates
+    A, B, A, B while A's and B's deepest is always i — the contact-pile
+    pattern where the single-slot timer resets forever
+    (nbx.collisions_scaled module docstring divergence)."""
+    pos = jnp.full((8, 3), 90.0, jnp.float32)
+    vel = jnp.zeros((8, 3), jnp.float32)
+    mass = jnp.zeros((8,), jnp.float32).at[:3].set(8.0)
+    pos = pos.at[1].set(jnp.asarray([30.0, 30, 30]))
+    # gentle sustained approach so the merge gate's `approaching` holds
+    vel = vel.at[0, 0].set(0.02).at[2, 0].set(-0.02)
+    return make_granular_state(pos, vel, mass, key=3,
+                               timer_slots=timer_slots)
+
+
+def _alternating_positions(k):
+    # radius(8, rock) = 1.24; both neighbors overlap i; the nearer one
+    # (deeper overlap) alternates with step parity
+    near, far = 2.2, 2.35
+    da = near if k % 2 == 0 else far
+    db = far if k % 2 == 0 else near
+    return (jnp.asarray([30.0 - da, 30, 30]), jnp.asarray([30.0 + db, 30, 30]))
+
+
+def _run_alternating(timer_slots, n_steps=14, merge_time=0.05):
+    cfg = SimConfig(merge_time=merge_time, fracture_threshold=1e9)
+    st = _alternating_pile(timer_slots)
+    h = 0.016
+    vel0 = st.vel
+    for k in range(n_steps):
+        pa, pb = _alternating_positions(k)
+        st = st._replace(pos=st.pos.at[0].set(pa).at[2].set(pb), vel=vel0)
+        st, ev = resolve_collisions_scaled(
+            st, cfg, h, BOX, n_cells=8, max_per_cell=8, interpret=True
+        )
+        if int(ev.n_merges):
+            return k
+    return None
+
+
+def test_kslot_timers_merge_through_partner_alternation():
+    """The K-slot contact table closes the alternating-partner gap: the
+    pair's timer survives the steps it is not the deepest (sign-encoded
+    grace), so the merge fires within ~2x merge_time — while the
+    single-slot path resets forever and never merges (VERDICT round-3
+    missing item 4; reference pair-keyed timers index.html:314-319)."""
+    assert _run_alternating(timer_slots=1) is None
+    fired = _run_alternating(timer_slots=3)
+    assert fired is not None
+    # accrual rate h/2 under 2-way alternation: fires by ~2 merge_time/h
+    assert fired <= 2 * int(0.05 / 0.016) + 3
+
+
+def test_kslot_timers_match_single_slot_on_stable_pair():
+    """With a STABLE deepest partner, K-slot and single-slot timers gate
+    identically (same merge step)."""
+    cfg = SimConfig(merge_time=0.05, fracture_threshold=1e9)
+    h = 0.016
+    fired = {}
+    for slots in (1, 3):
+        st = _touching_pair(cfg)
+        if slots > 1:
+            st = st._replace(
+                partner=jnp.full((8, slots), -1, jnp.int32),
+                contact_t=jnp.zeros((8, slots), jnp.float32),
+            )
+        pos0, vel0 = st.pos, st.vel
+        for k in range(8):
+            st = st._replace(pos=pos0, vel=vel0)
+            st, ev = resolve_collisions_scaled(
+                st, cfg, h, BOX, n_cells=8, max_per_cell=8, interpret=True
+            )
+            if int(ev.n_merges):
+                fired[slots] = k
+                break
+    assert fired[1] == fired[3]
+
+
+def test_kslot_stale_entry_prunes():
+    """A vanished contact's slot is pruned after the one grace step: no
+    ghost timer survives to instant-merge a much later re-contact."""
+    cfg = SimConfig(merge_time=1e9, fracture_threshold=1e9)
+    st = _alternating_pile(3)
+    pa, pb = _alternating_positions(0)
+    st = st._replace(pos=st.pos.at[0].set(pa).at[2].set(pb))
+    h = 0.016
+    st, _ = resolve_collisions_scaled(
+        st, cfg, h, BOX, n_cells=8, max_per_cell=8, interpret=True
+    )
+    assert int(st.partner[1].max()) >= 0
+    # teleport both neighbors away for two steps -> full prune
+    far = st.pos.at[0].set(jnp.asarray([70.0, 70, 70])).at[2].set(
+        jnp.asarray([75.0, 75, 75]))
+    for _ in range(2):
+        st = st._replace(pos=far)
+        st, _ = resolve_collisions_scaled(
+            st, cfg, h, BOX, n_cells=8, max_per_cell=8, interpret=True
+        )
+    assert int(st.partner[1].max()) == -1
+    assert float(st.contact_t[1].max()) == 0.0

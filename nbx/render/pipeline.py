@@ -84,6 +84,113 @@ def splat_starfield(
     jax.jit,
     static_argnames=("width", "height", "use_bloom", "n_impostors"),
 )
+def render_granular(
+    frame: FrameState,
+    st,  # GranularState (nbx.collisions_scaled)
+    cfg,  # SimConfig
+    events,  # ScaledEvents (single substep or stacked [S, ...])
+    cam: Camera,
+    trail_idx: jax.Array,  # [T] i32 body slots that get ribbon trails
+    width: int = 640,
+    height: int = 360,
+    exposure: float = 1.5,
+    use_bloom: bool = True,
+    stars: jax.Array | None = None,
+    bloom_strength: float = 1.2,
+    bloom_threshold: float = 0.3,
+    n_impostors: int = 64,
+):
+    """render_and_advance for the AT-SCALE state (GranularState +
+    ScaledEvents): same pass order and look (impostor z-buffer, additive
+    splats/trails/particles/flash glows, bloom, tonemap), with the one
+    scale adaptation that matters at N ~ 1M — ribbon TRAILS are tiered to
+    the `trail_idx` body slots (frame.trails capacity must equal
+    trail_idx.shape[0]): an 80-point history for every one of 1M bodies
+    is a ~1 GB ring buffer for ribbons thinner than a pixel. Splats,
+    impostors (K largest projected discs), smoke, explosion particles and
+    flash lights still run over ALL bodies/events, so the tiering only
+    affects which bodies leave a ribbon. frame.trails.head drives the
+    shader time exactly as in render_and_advance.
+
+    Reference frame semantics: index.html:500-597 (visual update),
+    :619-648 (flash/explosion), :724-732 + :873-883 (compose + bloom).
+    """
+    from nbx.config import body_radius
+
+    radius = body_radius(st.mass, st.mat, cfg.materials)
+    alive = st.mass > 0.0
+    c1, c2 = cfg.materials.color1, cfg.materials.color2
+
+    trails = trails_mod.update(
+        frame.trails, st.pos[trail_idx], alive[trail_idx]
+    )
+    parts = particles_mod.update(frame.particles, cfg.dt)
+    parts = particles_mod.spawn_smoke(
+        parts, st.pos, st.vel, radius, st.temp, alive
+    )
+
+    stacked = events.merge_pos.ndim == 3
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:]) if stacked else x
+
+    parts = particles_mod.spawn_explosions(
+        parts, flat(events.spawn_pos), flat(events.spawn_mask)
+    )
+    flash_pos = jnp.concatenate(
+        [flat(events.merge_pos), flat(events.fracture_pos)]
+    )
+    flash_e = jnp.concatenate(
+        [0.5 * flat(events.merge_mass), flat(events.fracture_energy)]
+    )
+    flash_mask = jnp.concatenate(
+        [flat(events.merge_mask), flat(events.fracture_mask)]
+    )
+    lights = lights_mod.advance(frame.lights, flash_pos, flash_e, flash_mask)
+    light_gain = lights_mod.body_light_gain(lights, st.pos)
+
+    depth = None
+    imp = None
+    if n_impostors > 0:
+        imp, depth = draw_impostors(
+            jnp.zeros((height, width, 3), jnp.float32),
+            st.pos, radius, st.temp, st.mat, alive, c1, c2, cam,
+            frame.trails.head.astype(jnp.float32) * cfg.dt,
+            width=width, height=height, n_impostors=n_impostors,
+            light_gain=light_gain,
+        )
+
+    hdr = splat_bodies_hdr(
+        st.pos, radius, st.temp, st.mat, alive, c1, c2, cam,
+        width=width, height=height, depth=depth, light_gain=light_gain,
+    )
+    if imp is not None:
+        hdr = hdr + imp
+    if stars is not None:
+        hdr = splat_starfield(hdr, stars, cam, width=width, height=height,
+                              depth=depth)
+    hdr = trails_mod.splat_trails(
+        hdr, trails, radius[trail_idx], st.temp[trail_idx],
+        st.mat[trail_idx], c1, c2, cam, width=width, height=height,
+        depth=depth,
+    )
+    hdr = particles_mod.splat_particles(hdr, parts, cam, width=width,
+                                        height=height, depth=depth)
+    hdr = lights_mod.splat_light_glow(hdr, lights, cam, width=width,
+                                      height=height, depth=depth)
+    if use_bloom:
+        hdr = bloom(hdr, bloom_strength, bloom_threshold)
+
+    return (
+        FrameState(trails=trails, particles=parts, lights=lights),
+        tonemap(hdr, exposure),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "use_bloom", "n_impostors"),
+)
 def render_and_advance(
     frame: FrameState,
     state,  # SimState

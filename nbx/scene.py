@@ -224,6 +224,118 @@ def galaxy_merger(
     )
 
 
+def galaxy_merger_3d(
+    n: int = 1_048_576,
+    G: float = 0.5,
+    R: float | None = None,
+    bulge_frac: float = 0.30,
+    seed: int = 0,
+) -> tuple[Scene, float]:
+    """Two 3D disk+bulge galaxies on a bound grazing collision course — the
+    flagship N=1M full-physics scene (BASELINE config 5, examples/
+    merger_full.py). Returns (scene, box): positions live in [0, box)^3,
+    the domain the collision binning and the isolated P3M/PM mesh share.
+
+    Geometry diverges deliberately from the reference disk recipe
+    (index.html:749-759, y ~ U(-1, 1)): a razor-thin sheet at N = 1M
+    concentrates ~sigma h^2 bodies into every occupied mesh cell, which
+    breaks P3M's kept-table premise at any affordable tune (see
+    nbx.ops.p3m.p3m_tune_for). Each galaxy here is a Plummer BULGE
+    (scale 0.35 R) plus a surface-uniform disk with Gaussian scale height
+    0.16 R — occupancy per cell stays under the PP kernel's K at
+    n_cells ~ 32, with the bulge cores (the physically clustered part)
+    absorbed by the adaptive residual exactly like the measured
+    1M+30k-core bench scene. Rotation curves come from the enclosed-mass
+    profile (core + bulge + disk), the reference's v = sqrt(G M / r)
+    construction (index.html:754) generalized; 20% ice / 80% rock and
+    body masses U(0.5, 2.5) follow the reference disk recipe.
+    """
+    rng = np.random.default_rng(seed)
+    n_half = n // 2
+    if R is None:
+        # surface density scales like n / R^2: keep it at the value that
+        # fits K <= 768 at n_cells ~ 32 (module note above) at any N
+        R = 1200.0 * np.sqrt(n / 1_048_576)
+
+    def one_galaxy(n_gal, seed_off):
+        r = np.random.default_rng(seed + seed_off)
+        n_bulge = int(n_gal * bulge_frac)
+        n_disk = n_gal - n_bulge - 1  # one core body
+        mass = (r.uniform(size=n_gal - 1) * 2.0 + 0.5).astype(np.float64)
+        core_mass = 0.05 * mass.sum()
+        m_bulge = mass[:n_bulge].sum()
+        m_disk = mass[n_bulge:].sum()
+        a_b = 0.35 * R
+
+        # bulge: Plummer positions (inverse-CDF radius)
+        u = r.uniform(size=n_bulge)
+        rb = a_b / np.sqrt(np.maximum(u ** (-2.0 / 3.0) - 1.0, 1e-9))
+        rb = np.minimum(rb, 3.0 * a_b)  # clip the far tail inside the box
+        db = _random_unit(r, n_bulge)
+        pos_b = db * rb[:, None]
+
+        # disk: surface-uniform annulus + Gaussian scale height
+        r_in = 0.05 * R
+        rd = np.sqrt(r.uniform(r_in**2, R**2, n_disk))
+        th = r.uniform(0, 2 * np.pi, n_disk)
+        z = r.normal(0.0, 0.16 * R, n_disk)
+        pos_d = np.stack([rd * np.cos(th), z, rd * np.sin(th)], axis=1)
+
+        # enclosed mass -> circular speed (the sqrt(GM/r) construction)
+        def m_enc(rr):
+            mb = m_bulge * rr**3 / (rr**2 + a_b**2) ** 1.5
+            md = m_disk * np.clip(
+                (rr**2 - r_in**2) / (R**2 - r_in**2), 0.0, 1.0
+            )
+            return core_mass + mb + md
+
+        # bulge: isotropic velocities at ~0.6 of local circular speed
+        # (pressure-supported, kept sub-virial so the bulge gently relaxes)
+        vb = 0.6 * np.sqrt(G * m_enc(np.maximum(rb, 0.05 * R)) / np.maximum(rb, 0.05 * R))
+        vel_b = _random_unit(r, n_bulge) * vb[:, None]
+        # disk: tangential circular orbits in the galaxy plane
+        vd = np.sqrt(G * m_enc(rd) / rd)
+        vel_d = np.stack(
+            [-np.sin(th) * vd, np.zeros(n_disk), np.cos(th) * vd], axis=1
+        )
+
+        pos = np.concatenate([[[0.0, 0.0, 0.0]], pos_b, pos_d])
+        vel = np.concatenate([[[0.0, 0.0, 0.0]], vel_b, vel_d])
+        m = np.concatenate([[core_mass], mass])
+        mat = np.full(n_gal, ROCK, np.int32)
+        ice = r.uniform(size=n_gal) < 0.2  # 20% ice (index.html:757)
+        mat[ice] = ICE
+        mat[0] = METAL  # hot metal core (index.html:750)
+        temp = np.zeros(n_gal, np.float32)
+        temp[0] = 1000.0
+        return pos, vel, m, mat, temp, m.sum()
+
+    p1, v1, m1, t1, T1, M1 = one_galaxy(n_half, 1)
+    p2, v2, m2, t2, T2, M2 = one_galaxy(n - n_half, 2)
+
+    sep = 2.1 * R
+    impact = 0.25 * R  # grazing offset (the reference collision scenario's
+    # z-offset trick, index.html:760-763, scaled up)
+    # bound pair: relative speed at distance `sep` below escape
+    v_esc = np.sqrt(2.0 * G * (M1 + M2) / sep)
+    v_app = 0.45 * v_esc
+    c = np.array([sep / 2, 0.0, impact / 2])
+    dv = np.array([v_app / 2, 0.0, 0.0])
+    pos = np.concatenate([p1 - c, p2 + c])
+    vel = np.concatenate([v1 + dv, v2 - dv])
+
+    box = float(2.0 * (sep / 2 + 1.7 * R))
+    pos = pos + box / 2.0  # -> [0, box)^3 (binning + isolated-mesh domain)
+    sc = _scene(
+        pos=pos,
+        vel=vel,
+        mass=np.concatenate([m1, m2]),
+        mat=np.concatenate([t1, t2]),
+        temp=np.concatenate([T1, T2]),
+    )
+    return sc, box
+
+
 def uniform_cube(n: int, side: float = 100.0, seed: int = 0) -> Scene:
     """Uniform random cube, unit masses — kernel benchmarking scene."""
     rng = np.random.default_rng(seed)

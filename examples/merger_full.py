@@ -94,6 +94,13 @@ def main(n: int = 1_048_576, n_frames: int = 180,
         up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
     )
 
+    # scene-constant: one smoothed Green's-function rfftn for the whole
+    # frame loop instead of one per granular_full_kdk_scan call
+    from nbx.ops.pm import isolated_green_hat
+
+    green_hat = isolated_green_hat(
+        box, tune["g"], box / tune["n_cells"] / 3.0, smoothed=True)
+
     def advance(st):
         return granular_full_kdk_scan(
             st, cfg, box, n_steps=steps_per_frame, n_cells=g_c,
@@ -101,7 +108,7 @@ def main(n: int = 1_048_576, n_frames: int = 180,
             pm_grid=tune["g"], p3m_cells=tune["n_cells"],
             p3m_k=tune["max_per_cell"],
             p3m_max_residual=tune["max_residual"],
-            interpret=interpret, log_events=True,
+            interpret=interpret, log_events=True, green_hat=green_hat,
         )
 
     def render(frame, st, ev):

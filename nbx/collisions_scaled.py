@@ -378,6 +378,7 @@ def granular_full_kdk_scan(
     p3m_k: int = 32,
     p3m_max_residual: int = 8192,
     log_events: bool = False,
+    green_hat: jax.Array | None = None,
 ):
     """Full-physics granular loop at scale: KDK gravity + fused-kernel
     collisions (bounce/merge/fracture/timers) + thermal decay, reference
@@ -404,18 +405,29 @@ def granular_full_kdk_scan(
     from nbx.sim import gravity
 
     if force_impl == "pm":
-        from nbx.ops.pm import pm_acceleration
-    green_hat = None
-    if force_impl == "p3m":
+        from nbx.ops.pm import isolated_green_hat, pm_acceleration
+
+        # loop-invariant: one [2g]^3 rfftn saved per STEP — before this
+        # the pm path re-built and re-transformed the Green's function
+        # inside every force eval. Frame loops calling with n_steps=1
+        # should precompute green_hat = isolated_green_hat(box, pm_grid)
+        # once per scene and pass it in (nbx.serve.BigLiveSim does).
+        if green_hat is None:
+            green_hat = isolated_green_hat(box_size, pm_grid)
+    elif force_impl == "p3m":
         from nbx.ops.p3m import p3m_acceleration
         from nbx.ops.pm import isolated_green_hat
 
         # loop-invariant: the smoothed Green's-function transform depends
         # only on (box, pm_grid, a) — computed once per scan call, not per
-        # force evaluation (a [2g]^3 rfftn saved per step)
-        green_hat = isolated_green_hat(
-            box_size, pm_grid, box_size / p3m_cells / 3.0, smoothed=True
-        )
+        # force evaluation (a [2g]^3 rfftn saved per step); pass the
+        # smoothed green_hat in to skip even the per-call build
+        if green_hat is None:
+            green_hat = isolated_green_hat(
+                box_size, pm_grid, box_size / p3m_cells / 3.0, smoothed=True
+            )
+    else:
+        green_hat = None
 
     h = cfg.dt / cfg.sub_steps
     z = jnp.int32(0)
@@ -427,7 +439,8 @@ def granular_full_kdk_scan(
             return jnp.zeros_like(pos), z
         if force_impl == "pm":
             return pm_acceleration(
-                pos, mass, cfg.G, box_size, g=pm_grid, isolated=True
+                pos, mass, cfg.G, box_size, g=pm_grid, isolated=True,
+                green_hat=green_hat,
             ), z
         if force_impl == "p3m":
             return p3m_acceleration(

@@ -112,19 +112,27 @@ def spawn_smoke(p: ParticleState, body_pos, body_vel, radius, temp, alive
     offset inside the radius; vel = 0.1 * body vel + jitter(+-0.25);
     life 0.8-1.2, decay 0.03."""
     c = alive.shape[0]
+    b = min(c, p.life.shape[0])
     key, k1, k2, k3, k4, k5 = jax.random.split(p.key, 6)
     chance = jnp.minimum(SMOKE_BASE_CHANCE + (temp - GLOW_TEMP) * SMOKE_TEMP_SLOPE, 1.0)
     hot = alive & (temp > GLOW_TEMP)
     fire = hot & (jax.random.uniform(k1, (c,)) < chance)
-    offset = jax.random.normal(k2, (c, 3))
+    # extract the first-b FIRING bodies, then draw geometry RNG on [b]
+    # rows only: at N >> pool the old full-N draws cost real frame time
+    # AND silently restricted smoke to the first `pool` body slots (the
+    # _spawn truncation) — extraction is both cheaper and less biased
+    from nbx.ops.p3m import take_rows
+
+    idx, valid = take_rows(fire, b)
+    offset = jax.random.normal(k2, (b, 3))
     offset = offset / jnp.linalg.norm(offset, axis=1, keepdims=True)
-    offset = offset * (radius * jax.random.uniform(k3, (c,)))[:, None]
-    jitter = (jax.random.uniform(k4, (c, 3)) - 0.5) * 0.5
-    life = 0.8 + jax.random.uniform(k5, (c,)) * 0.4
+    offset = offset * (radius[idx] * jax.random.uniform(k3, (b,)))[:, None]
+    jitter = (jax.random.uniform(k4, (b, 3)) - 0.5) * 0.5
+    life = 0.8 + jax.random.uniform(k5, (b,)) * 0.4
     p = dataclasses.replace(p, key=key)
     return _spawn(
-        p, body_pos + offset, body_vel * 0.1 + jitter, life,
-        jnp.full((c,), 0.03), fire,
+        p, body_pos[idx] + offset, body_vel[idx] * 0.1 + jitter, life,
+        jnp.full((b,), 0.03), valid,
     )
 
 

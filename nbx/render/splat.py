@@ -22,6 +22,7 @@ from nbx.ops.p3m import take_rows
 from nbx.render.colormap import body_color, tonemap
 
 _BIG_SPLATS = 512  # 11x11-tier capacity (slot-order, not size-ranked)
+_MID_SPLATS = 8192  # 5x5-tier capacity (see the tier comment below)
 
 
 @jax.tree_util.register_dataclass
@@ -201,49 +202,75 @@ def _splat_bodies(pos, radius, temp, mat, alive, color1, color2, cam,
     f = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
     app = f * radius / jnp.where(z > 1e-3, z, 1.0)  # apparent radius in px
 
-    # Two footprint tiers (all static shapes): most bodies take the 5x5
-    # tap window; the FIRST _BIG_SPLATS bodies (slot order — take_rows is
-    # index-order extraction, not a size ranking) with apparent radius
-    # above ~2 px take an 11x11 window so big/near bodies render as wide
-    # soft discs instead of saturated clipped dots (the n_impostors
-    # nearest get exact per-pixel shading on top — nbx.render.impostor).
-    # Past the tier capacity big bodies clip in the 5x5 tier; a true
-    # size-ranked selection would need a top_k over N per frame.
+    # THREE footprint tiers (all static shapes). Scatter-adds over the
+    # full body array are the cost that matters on TPU (measured round 4
+    # at 131k: ~1.6 ms per full-N tap scatter, 25 of them = 74 ms, and
+    # the 25-tap window would be ~320 ms at 1M), so the full-N tier is
+    # the MINIMUM footprint that keeps sub-pixel motion smooth — a 2x2
+    # bilinear (4 scatters; weights sum to 1 exactly, and for the
+    # sub-pixel majority sigma clips to 0.45 where the old 5x5 window's
+    # outer taps carried < 1e-4 of the energy — bloom re-spreads points
+    # anyway). Bodies whose footprint genuinely spans pixels
+    # (app > 0.75) are EXTRACTED (take_rows = index-order, not a size
+    # ranking) into a capped 5x5 Gaussian tier whose scatters run over
+    # _MID_SPLATS rows, and app > 2.0 bodies into the 11x11 tier so
+    # big/near bodies render as wide soft discs (the n_impostors nearest
+    # get exact per-pixel shading on top — nbx.render.impostor). Past a
+    # tier's capacity a body falls back to the next-smaller footprint
+    # (visible, if clipped) rather than vanish; a true size-ranked
+    # selection would need a top_k over N per frame.
     # threshold 2.0 px: in the 5x5 window a sigma above ~1.2 truncates at
     # +-1.7 sigma and reads as a box; the 11x11 tier keeps those round
     big = visible & (app > 2.0)
     idx_b, valid_b = take_rows(big, _BIG_SPLATS)
-    # bodies past the tier capacity stay in the 5x5 tier (visible, if
-    # clipped) rather than vanish
-    in_tier = big & (jnp.cumsum(big.astype(jnp.int32)) - 1 < _BIG_SPLATS)
-    small = visible & ~in_tier
+    in_big = big & (jnp.cumsum(big.astype(jnp.int32)) - 1 < _BIG_SPLATS)
+    mid = visible & ~in_big & (app > 0.75)
+    m_cap = min(_MID_SPLATS, alive.shape[0])
+    idx_m, valid_m = take_rows(mid, m_cap)
+    in_mid = mid & (jnp.cumsum(mid.astype(jnp.int32)) - 1 < m_cap)
+    small = visible & ~in_big & ~in_mid
     # Energy ~ apparent area, floored so sub-pixel bodies stay visible
     # (the reference never lets a body vanish either — bloom pops them).
-    intensity = jnp.where(small, jnp.clip(app * app, 0.3, 60.0), 0.0)
-    rgb = col * intensity[:, None]
+    inten_s = jnp.where(small, jnp.clip(app * app, 0.3, 60.0), 0.0)
+    rgb_s = col * inten_s[:, None]
 
-    # Variable-size Gaussian footprint over a 5x5 tap window: big/near
-    # bodies render as soft blobs, small ones as bright points.
-    sigma = jnp.clip(app * 0.6, 0.45, 2.2)
-    x0 = jnp.round(px).astype(jnp.int32)
-    y0 = jnp.round(py).astype(jnp.int32)
-    x0 = jnp.clip(x0, 2, width - 3)
-    y0 = jnp.clip(y0, 2, height - 3)
+    # ---- small tier: 2x2 bilinear over ALL N (4 scatters) -------------
+    xf = jnp.clip(px, 0.0, width - 1.001)
+    yf = jnp.clip(py, 0.0, height - 1.001)
+    x0 = jnp.floor(xf).astype(jnp.int32)
+    y0 = jnp.floor(yf).astype(jnp.int32)
+    fx = xf - x0
+    fy = yf - y0
+    img = jnp.zeros((height, width, 3), jnp.float32)
+    for dy, dx, w in (
+        (0, 0, (1.0 - fx) * (1.0 - fy)),
+        (0, 1, fx * (1.0 - fy)),
+        (1, 0, (1.0 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        img = img.at[y0 + dy, x0 + dx].add(
+            rgb_s * w[:, None], mode="drop"
+        )
 
+    # ---- mid tier: 5x5 Gaussian over the m_cap gathered rows ----------
+    pxm, pym, appm = px[idx_m], py[idx_m], app[idx_m]
+    inten_m = jnp.where(valid_m, jnp.clip(appm * appm, 0.3, 60.0), 0.0)
+    rgb_m = col[idx_m] * inten_m[:, None]
+    sigm = jnp.clip(appm * 0.6, 0.45, 2.2)
+    x0m = jnp.clip(jnp.round(pxm).astype(jnp.int32), 2, width - 3)
+    y0m = jnp.clip(jnp.round(pym).astype(jnp.int32), 2, height - 3)
     taps = []
-    wsum = jnp.zeros_like(px)
+    wsum = jnp.zeros_like(pxm)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            d2 = (x0 + dx - px) ** 2 + (y0 + dy - py) ** 2
-            w = jnp.exp(-d2 / (2.0 * sigma * sigma))
+            d2 = (x0m + dx - pxm) ** 2 + (y0m + dy - pym) ** 2
+            w = jnp.exp(-d2 / (2.0 * sigm * sigm))
             taps.append((dy, dx, w))
             wsum = wsum + w
     inv_wsum = 1.0 / jnp.where(wsum > 0, wsum, 1.0)
-
-    img = jnp.zeros((height, width, 3), jnp.float32)
     for dy, dx, w in taps:
-        img = img.at[y0 + dy, x0 + dx].add(
-            rgb * (w * inv_wsum)[:, None], mode="drop"
+        img = img.at[y0m + dy, x0m + dx].add(
+            rgb_m * (w * inv_wsum)[:, None], mode="drop"
         )
 
     # ---- 11x11 tier: one batched scatter of the gathered big bodies ------

@@ -192,3 +192,75 @@ def test_stream_pushes_frames(server):
     pngs = [p for p in parts if b"\x89PNG" in p]
     assert len(pngs) >= 2  # at least two complete pushed frames
     assert b"Content-Type: image/png" in parts[1]
+
+
+@pytest.fixture(scope="module")
+def big_server(server):
+    from http.server import ThreadingHTTPServer
+
+    from nbx.serve import BigLiveSim
+
+    # pause the dense module server: on a 1-core host its unthrottled
+    # background loop starves the big sim's frame loop and the HTTP
+    # requests below past their timeouts (round-4 suite flake); the big
+    # tests are defined after every dense test, so nothing observes the
+    # dense sim while it is paused
+    _, dense = server
+    dense.paused = True
+    live = BigLiveSim(
+        n=512, scenario="cloud", width=128, height=72, fps=60.0,
+        force_impl="zero", n_cells=8, band_cells=2, n_trails=32,
+    )
+    # compile the frame path BEFORE starting the loop: on a 1-core host
+    # the module's dense `server` fixture is still stepping in its
+    # background thread, and a fixed poll timeout around the ~20 s XLA
+    # compile flaked under that contention (round-4 suite)
+    live._advance_and_render()
+    live.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(live))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    for _ in range(1200):  # warm frames, but the host may be contended
+        if live.frame_png or live.error:
+            break
+        time.sleep(0.1)
+    assert live.error is None, live.error
+    assert live.frame_png, "no frame within 120s of a compiled loop"
+    yield base, live
+    httpd.shutdown()
+    live.stop()
+    dense.paused = False
+
+
+def test_big_mode_serves_frames_and_steps(big_server):
+    """The at-scale granular path behind the same HTTP surface: frames
+    render, steps advance, HUD carries the scaled counters."""
+    base, live = big_server
+    code, body, ctype = _get(base + "/frame.png")
+    assert code == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+    s0 = json.loads(_get(base + "/state")[1])
+    assert s0["alive"] > 0 and "n_bounces" in s0
+    for _ in range(200):
+        s1 = json.loads(_get(base + "/state")[1])
+        if s1["step"] > s0["step"]:
+            break
+        time.sleep(0.1)
+    assert s1["step"] > s0["step"], (s0, s1)
+    assert s1["error"] is None
+
+
+def test_big_mode_set_and_spawn(big_server):
+    """Sliders retune the scaled cfg live; a drag spawns into a dead slot
+    (or reports a counted drop when full — no FIFO eviction at scale)."""
+    base, live = big_server
+    _get(base + "/set?G=1.25&bloom_strength=0.7")
+    assert abs(float(live.cfg.G) - 1.25) < 1e-6
+    assert abs(live.bloom_strength - 0.7) < 1e-6
+    code, body, _ = _get(base + "/spawn?sx0=60&sy0=30&sx1=70&sy1=40")
+    assert code == 200
+    out = json.loads(body)
+    assert out["spawned"] in (0, 1) and out["evicted"] == 0
+    _get(base + "/orbit?dyaw=0.1&zoom=1.1")
+    code, _, _ = _get(base + "/reset?scenario=cloud")
+    assert code == 200

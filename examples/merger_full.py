@@ -109,6 +109,7 @@ def main(n: int = 1_048_576, n_frames: int = 180,
             p3m_k=tune["max_per_cell"],
             p3m_max_residual=tune["max_residual"],
             interpret=interpret, log_events=True, green_hat=green_hat,
+            p3m_pp_buckets=tune.get("pp_buckets"),
         )
 
     def render(frame, st, ev):

@@ -12,7 +12,8 @@ Pallas kernel.
         [n_total] [n_core] [mode ...]
     # defaults: 1000000 30000 dense twolevel
     # mode = dense|twolevel, optionally with a tune suffix
-    #   mode@n_cells,K[,pp]   e.g. twolevel@12,768,pallas
+    #   mode@n_cells,K[,pp[,b]]   e.g. dense@12,768,pallas,b
+    # trailing 'b' sizes occupancy-BUCKETED PP cells (pp_buckets_for)
     # pp = xla|pallas picks the main short-range implementation. The
     # ACCURACY-resolving tune needs h <= a/1.7 => n_cells <= g/5.1
     # (n_cells=12 at g=64) — affordable only on the pallas path
@@ -85,13 +86,19 @@ def main(argv):
     pos, mass, n_field = cluster_scene(n_total, n_core)
 
     for spec in modes:
-        mode, n_cells, k, pp = spec, 25, 96, "xla"
+        mode, n_cells, k, pp, pp_buckets = spec, 25, 96, "xla", None
         if "@" in spec:
             mode, rest = spec.split("@", 1)
             parts = rest.split(",")
             n_cells, k = int(parts[0]), int(parts[1])
             if len(parts) > 2:
                 pp = parts[2]
+            if len(parts) > 3 and parts[3] == "b":
+                # occupancy-bucketed PP cells (VERDICT r3 next item 6)
+                from nbx.ops.ppkernel import pp_buckets_for
+
+                pp_buckets = pp_buckets_for(pos, BOX, n_cells, k)
+                print(f"# pp_buckets={pp_buckets}", file=sys.stderr)
         # g=64: the round-2 measured base (0.72 s); g=128 alone costs 2.7 s.
         # Submesh: cost is subcells * 27 * sub_k^2 REGARDLESS of occupancy,
         # so size sub_k to the peak submesh-cell density and refine
@@ -102,6 +109,7 @@ def main(argv):
             g=64, n_cells=n_cells, max_per_cell=k, eps=EPS,
             max_residual=32768, residual_mode=mode,
             sub_g=96, sub_cells=24, sub_k=96, pp_impl=pp,
+            pp_buckets=pp_buckets,
         )
         acc, unc = p3m_acceleration(pos, mass, 1.0, BOX, **kw)
         np.asarray(acc)  # warm + materialize

@@ -358,6 +358,7 @@ def resolve_collisions_scaled(
         "n_steps", "n_cells", "max_per_cell", "band_cells", "packed_caps",
         "max_blocks", "buckets", "force_impl", "pm_grid", "interpret",
         "p3m_cells", "p3m_k", "p3m_max_residual", "log_events",
+        "p3m_pp_buckets",
     ),
 )
 def granular_full_kdk_scan(
@@ -379,6 +380,7 @@ def granular_full_kdk_scan(
     p3m_max_residual: int = 8192,
     log_events: bool = False,
     green_hat: jax.Array | None = None,
+    p3m_pp_buckets: tuple[tuple[int, int, int], ...] | None = None,
 ):
     """Full-physics granular loop at scale: KDK gravity + fused-kernel
     collisions (bounce/merge/fracture/timers) + thermal decay, reference
@@ -448,6 +450,7 @@ def granular_full_kdk_scan(
                 max_per_cell=p3m_k, eps=cfg.softening,
                 max_residual=p3m_max_residual, pp_impl="pallas",
                 interpret=interpret, green_hat=green_hat,
+                pp_buckets=p3m_pp_buckets,
             )
         return gravity(pos, mass, cfg.G, cfg.softening, force_impl), z
 

@@ -237,6 +237,13 @@ def p3m_tune_for(
             f"residual_budget={residual_budget} allows at every candidate "
             "n_cells — raise the budgets or use direct/PM gravity"
         )
+    # occupancy-bucketed PP layout for the chosen tune (None when the
+    # occupancy is near-uniform and bucketing would not pay)
+    from nbx.ops.ppkernel import pp_buckets_for
+
+    best["pp_buckets"] = pp_buckets_for(
+        pos, box_size, best["n_cells"], best["max_per_cell"]
+    )
     return best
 
 
@@ -657,7 +664,8 @@ def _residual_rr_twolevel(
     jax.jit,
     static_argnames=("g", "n_cells", "max_per_cell", "max_residual",
                      "deconvolve", "residual_mode", "sub_g", "sub_cells",
-                     "sub_k", "pp_impl", "affected_cap", "interpret"),
+                     "sub_k", "pp_impl", "affected_cap", "interpret",
+                     "pp_buckets"),
 )
 def p3m_acceleration(
     pos: jax.Array,  # [N, 3] in [0, box/2)^3 (isolated convention)
@@ -678,6 +686,7 @@ def p3m_acceleration(
     affected_cap: int = 256,
     interpret: bool = False,
     green_hat: jax.Array | None = None,
+    pp_buckets: tuple[tuple[int, int, int], ...] | None = None,
 ):
     """Isolated-boundary P3M acceleration, [N, 3]. Returns
     (acc, n_uncorrected).
@@ -744,9 +753,13 @@ def p3m_acceleration(
     if pp_impl == "pallas":
         from nbx.ops.ppkernel import short_range_acc_pallas
 
-        acc_short, _ = short_range_acc_pallas(
+        # pp_buckets (from nbx.ops.ppkernel.pp_buckets_for): occupancy-
+        # bucketed cell layout — same pair set, fp-only differences; any
+        # bucket-budget drop shows up as pp_ovf > n_overflow and is
+        # counted into n_uncorrected below (no-silent-caps rule)
+        acc_short, pp_ovf = short_range_acc_pallas(
             pos, mass, G, a, box_size, n_cells, max_per_cell, eps,
-            interpret=interpret,
+            interpret=interpret, buckets=pp_buckets,
         )
     elif pp_impl == "xla":
         acc_short, _ = short_range_acc(
@@ -758,6 +771,11 @@ def p3m_acceleration(
     # ---- adaptive residual: overflowing bodies get an exact pass ----------
     res_idx, res_valid = take_rows(dropped, max_residual)
     n_uncorrected = jnp.maximum(n_overflow - max_residual, 0)
+    if pp_impl == "pallas" and pp_buckets is not None:
+        # bodies the bucketed main pass dropped (over-budget last-bucket
+        # cells / cap truncation) lose short-range force with no residual
+        # backstop — surface them in the gate value
+        n_uncorrected = n_uncorrected + jnp.maximum(pp_ovf - n_overflow, 0)
     if pp_impl == "pallas":
         # scatter-free residual-vs-table pass (the XLA form's cell-granular
         # reaction scatter measured 12.65 s of the 14.3 s accurate-tune

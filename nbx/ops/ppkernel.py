@@ -254,11 +254,12 @@ def _cell_neighbors27(g: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "max_per_cell", "interpret"),
+    static_argnames=("n_cells", "max_per_cell", "interpret", "buckets"),
 )
 def short_range_acc_pallas(
     pos, mass, G, a, box_size: float, n_cells: int,
     max_per_cell: int = 16, eps=0.0, interpret: bool = False,
+    buckets: tuple[tuple[int, int, int], ...] | None = None,
 ):
     """Drop-in Pallas replacement for nbx.ops.p3m.short_range_acc.
 
@@ -274,6 +275,21 @@ def short_range_acc_pallas(
                 ids (contiguous [8, K8] copies)       -> [C, 8, 27 K8]
       epilogue  out[cell, rank] gathered back through the inverse sort
                 permutation — slot is a FUNCTION of the sort, no scatter.
+
+    buckets=((t_cap, s_cap, bmax), ..., (K, K, bmax_tail)) switches to the
+    OCCUPANCY-BUCKETED layout (size with pp_buckets_for): uniform per-cell
+    caps must track the densest cell's extreme-value tail, so on clustered
+    scenes (the accurate-P3M regime: 1M + 30k core at K=768) the bulk of
+    cells pays ~K/median extra pair lanes; bucketing assigns each OCCUPIED
+    cell to the first bucket whose t_cap covers its kept count and whose
+    s_cap covers its 27-neighborhood's max kept count (cells spill past a
+    bucket's block budget to the next; only the LAST bucket drops, counted
+    in the returned n_overflow as dropped KEPT bodies so callers can gate
+    — the same no-silent-caps rule as nbx.ops.collide). Empty cells launch
+    no blocks at all. The pair SET is identical to the uniform layout
+    (every kept body of every occupied cell against its neighborhood's
+    kept bodies); differences are fp-only (chunk-boundary reduction
+    order).
     """
     n = pos.shape[0]
     g = n_cells
@@ -302,38 +318,6 @@ def short_range_acc_pallas(
         axis=0,
     )
 
-    k8 = _round_up(max(k, 8), 8)
-    if k8 > LANE:  # 2D-grid sub-blocks must tile k8 exactly
-        k8 = _round_up(k8, LANE)
-    t_sub = min(k8, LANE)
-    ar = jnp.arange(k8, dtype=i32)
-    base = starts[:c_total]
-    valid = ar[None, :] < jnp.minimum(cnt, k)[:, None]  # [C, K8]
-    take = jnp.minimum(base[:, None] + ar, n)
-    # the ONE per-row gather: consecutive-run rows per cell (3D index form
-    # — the flat 1D-index gather measured 4x slower, nbx/ops/collide.py)
-    tgt = feats_sorted[jnp.where(valid, take, n)]  # [C, K8, 8]
-
-    # fused sources: [C + 1, 8, K8] blocks chunk-gathered at 27 neighbors
-    blocksT = jnp.concatenate(
-        [
-            tgt.transpose(0, 2, 1),
-            jnp.broadcast_to(feats_sorted[n][None, :, None], (1, 8, k8)),
-        ],
-        axis=0,
-    )
-    neigh = _cell_neighbors27(g)  # [C, 27]
-    fused = blocksT[neigh]  # [C, 27, 8, K8] — contiguous (8 K8)-float copies
-    fused = fused.transpose(0, 2, 1, 3).reshape(c_total, 8, 27 * k8)
-    s_rows = _round_up(27 * k8, LANE)
-    if s_rows != 27 * k8:
-        lane_pad = jnp.broadcast_to(
-            feats_sorted[n][None, :, None],
-            (c_total, 8, s_rows - 27 * k8),
-        )
-        fused = jnp.concatenate([fused, lane_pad], axis=2)
-    src = fused.reshape(c_total * 8, s_rows)
-
     a32 = jnp.asarray(a, f32)
     par = jnp.stack(
         [
@@ -343,47 +327,263 @@ def short_range_acc_pallas(
             jnp.asarray(G, f32),
         ]
     )[None, :]
-
+    neigh = _cell_neighbors27(g)  # [C, 27]
     pair_ops = 25
-    n_sub = k8 // t_sub  # target sub-blocks per cell; ts is the FAST grid
-    # axis so the [8, S] src block (index constant in ts) loads once/cell
-    out = pl.pallas_call(
-        _pp_kernel,
-        grid=(c_total, n_sub),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda c, ts: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((t_sub, 8), lambda c, ts: (c * n_sub + ts, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, s_rows), lambda c, ts: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((t_sub, 8), lambda c, ts: (c * n_sub + ts, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c_total * k8, 8), f32),
-        cost_estimate=pl.CostEstimate(
-            flops=pair_ops * c_total * k8 * s_rows,
-            bytes_accessed=(c_total * (k8 * 8 * 2 + s_rows * 8)) * 4,
-            transcendentals=c_total * k8 * s_rows,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(par, tgt.reshape(c_total * k8, 8), src)
 
-    # epilogue: body -> its (cell, rank) slot, pure gathers (slot is a
-    # function of the cell sort; kept-dropped bodies hit the zero pad row)
+    def pp_call(tgt2d, src2d, t8, s_rows, n_blocks):
+        t_sub = min(t8, LANE)
+        n_sub = t8 // t_sub  # ts is the FAST grid axis so the [8, S] src
+        # block (index constant in ts) loads once per cell
+        return pl.pallas_call(
+            _pp_kernel,
+            grid=(n_blocks, n_sub),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda c, ts: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_sub, 8), lambda c, ts: (c * n_sub + ts, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, s_rows), lambda c, ts: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (t_sub, 8), lambda c, ts: (c * n_sub + ts, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * t8, 8), f32),
+            cost_estimate=pl.CostEstimate(
+                flops=pair_ops * n_blocks * t8 * s_rows,
+                bytes_accessed=(n_blocks * (t8 * 8 * 2 + s_rows * 8)) * 4,
+                transcendentals=n_blocks * t8 * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(par, tgt2d, src2d)
+
+    def t_round(t_cap):
+        t8 = _round_up(max(t_cap, 8), 8)
+        if t8 > LANE:  # 2D-grid sub-blocks must tile t8 exactly
+            t8 = _round_up(t8, LANE)
+        return t8
+
     p_r = jnp.arange(n, dtype=i32)
     rank = p_r - starts[cid_sorted]
-    slot_sorted = jnp.where(
-        rank < k, cid_sorted * k8 + rank, c_total * k8
-    )
     inv = jnp.argsort(order).astype(i32)  # no N-scatter (microops)
-    out_p = jnp.concatenate([out, jnp.zeros((1, 8), f32)], axis=0)
-    acc = out_p[slot_sorted[inv], :3]
-    return acc, n_overflow
+
+    if buckets is None:
+        k8 = t_round(k)
+        ar = jnp.arange(k8, dtype=i32)
+        base = starts[:c_total]
+        valid = ar[None, :] < jnp.minimum(cnt, k)[:, None]  # [C, K8]
+        take = jnp.minimum(base[:, None] + ar, n)
+        # the ONE per-row gather: consecutive-run rows per cell (3D index
+        # form — the flat 1D-index gather measured 4x slower,
+        # nbx/ops/collide.py)
+        tgt = feats_sorted[jnp.where(valid, take, n)]  # [C, K8, 8]
+
+        # fused sources: [C + 1, 8, K8] blocks gathered at 27 neighbors
+        blocksT = jnp.concatenate(
+            [
+                tgt.transpose(0, 2, 1),
+                jnp.broadcast_to(
+                    feats_sorted[n][None, :, None], (1, 8, k8)
+                ),
+            ],
+            axis=0,
+        )
+        fused = blocksT[neigh]  # [C, 27, 8, K8] — (8 K8)-float chunk copies
+        fused = fused.transpose(0, 2, 1, 3).reshape(c_total, 8, 27 * k8)
+        s_rows = _round_up(27 * k8, LANE)
+        if s_rows != 27 * k8:
+            lane_pad = jnp.broadcast_to(
+                feats_sorted[n][None, :, None],
+                (c_total, 8, s_rows - 27 * k8),
+            )
+            fused = jnp.concatenate([fused, lane_pad], axis=2)
+        src = fused.reshape(c_total * 8, s_rows)
+
+        out = pp_call(tgt.reshape(c_total * k8, 8), src, k8, s_rows,
+                      c_total)
+
+        # epilogue: body -> its (cell, rank) slot, pure gathers (slot is a
+        # function of the cell sort; kept-dropped bodies hit the pad row)
+        slot_sorted = jnp.where(
+            rank < k, cid_sorted * k8 + rank, c_total * k8
+        )
+        out_p = jnp.concatenate([out, jnp.zeros((1, 8), f32)], axis=0)
+        acc = out_p[slot_sorted[inv], :3]
+        return acc, n_overflow
+
+    # ---- occupancy-bucketed layout ---------------------------------------
+    keptc = jnp.minimum(cnt, k)  # [C] kept count per cell
+    kept_p = jnp.concatenate([keptc, jnp.zeros((1,), i32)])
+    nbrmax = jnp.max(kept_p[neigh], axis=1)  # [C] max kept over 3^3
+    base_p = jnp.concatenate(
+        [starts[:c_total], jnp.full((1,), n, i32)]
+    )
+
+    # first-covering-bucket assignment with budget SPILL (nbx.ops.collide
+    # rule): over-budget cells flow to the next bucket; only the last
+    # bucket drops, and dropped cells' KEPT bodies are counted into
+    # n_overflow (no-silent-caps — callers gate on it)
+    occ = cnt > 0
+    remaining = occ
+    sels, wranks = [], []
+    for bi, (t_cap, s_cap, bmax) in enumerate(buckets):
+        if bi == len(buckets) - 1:
+            fl = remaining
+        else:
+            fl = remaining & (keptc <= t_cap) & (nbrmax <= s_cap)
+        wrank = jnp.cumsum(fl.astype(i32)) - 1
+        sel = fl & (wrank < bmax)
+        if bi == len(buckets) - 1:
+            n_overflow = n_overflow + jnp.sum(
+                jnp.where(fl & ~sel, keptc, 0)
+            )
+        remaining = remaining & ~sel
+        sels.append(sel)
+        wranks.append(wrank)
+
+    acc_sorted = jnp.zeros((n, 3), f32)
+    for (t_cap, s_cap, bmax), sel, wrank in zip(buckets, sels, wranks):
+        t8 = t_round(min(t_cap, k))
+        s8 = _round_up(max(min(s_cap, k), 8), 8)
+        csel, cvalid = take_rows(sel, bmax)  # [bmax] cell ids
+        cnt_sel = jnp.where(cvalid, keptc[csel], 0)
+        # cap-truncation guards: zero by construction when buckets came
+        # from pp_buckets_for (assignment guarantees keptc <= t_cap and
+        # nbrmax <= s_cap), nonzero = a mis-sized bucket silently losing
+        # pairs — surfaced in n_overflow instead (no-silent-caps rule)
+        n_overflow = n_overflow + jnp.sum(jnp.maximum(cnt_sel - t8, 0))
+        kc_sel = jnp.where(
+            cvalid[:, None], kept_p[neigh[csel]], 0
+        )  # [bmax, 27]
+        n_overflow = n_overflow + jnp.sum(jnp.maximum(kc_sel - s8, 0))
+        ar_t = jnp.arange(t8, dtype=i32)
+        valid_t = ar_t[None, :] < cnt_sel[:, None]
+        take_t = jnp.minimum(starts[csel][:, None] + ar_t, n)
+        tgt = feats_sorted[jnp.where(valid_t, take_t, n)]  # [bmax, t8, 8]
+
+        ar_s = jnp.arange(s8, dtype=i32)
+        # whole-grid block table only when the bucket covers a substantial
+        # fraction of the grid (nbx.ops.collide's sparse-bucket guard) —
+        # a tail of few cells gathers its neighborhoods directly
+        if 4 * bmax >= c_total:
+            valid_b = ar_s[None, :] < keptc[:, None]
+            take_b = jnp.minimum(starts[:c_total][:, None] + ar_s, n)
+            blocks = feats_sorted[
+                jnp.where(valid_b, take_b, n)
+            ]  # [C, s8, 8]
+            blocksT = jnp.concatenate(
+                [
+                    blocks.transpose(0, 2, 1),
+                    jnp.broadcast_to(
+                        feats_sorted[n][None, :, None], (1, 8, s8)
+                    ),
+                ],
+                axis=0,
+            )
+            fused = blocksT[neigh[csel]]  # [bmax, 27, 8, s8] chunk copies
+            fused = fused.transpose(0, 2, 1, 3)
+        else:
+            nsel = neigh[csel]  # [bmax, 27]
+            ss = base_p[nsel]
+            kc = kept_p[nsel]
+            valid_s = (
+                ar_s[None, None, :] < kc[..., None]
+            ) & cvalid[:, None, None]
+            take_s = jnp.minimum(ss[..., None] + ar_s, n)
+            rows = feats_sorted[
+                jnp.where(valid_s, take_s, n)
+            ]  # [bmax, 27, s8, 8]
+            fused = rows.transpose(0, 3, 1, 2)
+        fused = fused.reshape(bmax, 8, 27 * s8)
+        s_rows = _round_up(27 * s8, LANE)
+        if s_rows != 27 * s8:
+            lane_pad = jnp.broadcast_to(
+                feats_sorted[n][None, :, None],
+                (bmax, 8, s_rows - 27 * s8),
+            )
+            fused = jnp.concatenate([fused, lane_pad], axis=2)
+        src = fused.reshape(bmax * 8, s_rows)
+
+        out = pp_call(tgt.reshape(bmax * t8, 8), src, t8, s_rows, bmax)
+
+        slot_sorted = jnp.where(
+            sel[cid_sorted] & (rank < min(k, t8)),
+            wrank[cid_sorted] * t8 + rank,
+            bmax * t8,
+        )
+        out_p = jnp.concatenate([out, jnp.zeros((1, 8), f32)], axis=0)
+        acc_sorted = acc_sorted + out_p[slot_sorted, :3]
+
+    return acc_sorted[inv], n_overflow
+
+
+def pp_buckets_for(
+    pos,
+    box_size: float,
+    n_cells: int,
+    max_per_cell: int,
+    split_quantile: float = 0.8,
+    slack: float = 1.15,
+    block_slack: float = 1.25,
+) -> tuple[tuple[int, int, int], ...] | None:
+    """Census THIS scene's per-cell KEPT occupancy and size a two-bucket
+    configuration for short_range_acc_pallas(buckets=...):
+    ((t_cap, s_cap, bmax_bulk), (K, K, bmax_tail)).
+
+    The bulk bucket takes every occupied cell whose kept count and
+    27-neighborhood max kept count fit caps sized at `split_quantile` of
+    the occupied distribution (with `slack` headroom for drift until the
+    caller re-tunes); the tail runs at full K. Returns None when
+    bucketing cannot pay: near-uniform occupancy (bulk caps ~ K) or a
+    tail so large the second launch dominates — callers then use the
+    uniform layout. HOST-side numpy: returns python ints (static jit
+    args — call once per scene, or when n_overflow goes nonzero)."""
+    import numpy as np
+
+    g = n_cells
+    k = max_per_cell
+    p = np.asarray(pos)
+    h = box_size / g
+    ijk = np.clip((p / h).astype(np.int64), 0, g - 1)
+    cid = (ijk[:, 0] * g + ijk[:, 1]) * g + ijk[:, 2]
+    cnt = np.bincount(cid, minlength=g**3).reshape(g, g, g)
+    kept = np.minimum(cnt, k)
+    kp = np.zeros((g + 2,) * 3, kept.dtype)
+    kp[1:-1, 1:-1, 1:-1] = kept
+    nbr = np.zeros_like(kept)
+    for di in range(3):
+        for dj in range(3):
+            for dk in range(3):
+                nbr = np.maximum(nbr, kp[di:di + g, dj:dj + g, dk:dk + g])
+    occ = cnt > 0
+    if not occ.any():
+        return None
+    kk = _round_up(max(k, 8), 8)
+
+    def cap(v):
+        c = max(8, int(np.ceil(v * slack)))
+        return min(_round_up(c, 8), kk)
+
+    t1 = cap(np.quantile(kept[occ], split_quantile))
+    s1 = cap(np.quantile(nbr[occ], split_quantile))
+    in1 = occ & (kept <= t1) & (nbr <= s1)
+    n1, n2 = int(in1.sum()), int((occ & ~in1).sum())
+
+    def budget(m):
+        return max(8, _round_up(int(np.ceil(m * block_slack)), 8))
+
+    # pay only when the bulk actually sheds pair lanes: bucketed cost
+    # proxy vs the uniform all-cells-at-K launch
+    uniform_lanes = int(occ.sum()) * kk * 27 * kk
+    bucket_lanes = n1 * t1 * 27 * s1 + n2 * kk * 27 * kk
+    if bucket_lanes > 0.85 * uniform_lanes:
+        return None
+    return ((t1, s1, budget(n1)), (kk, kk, budget(n2)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -10,15 +10,16 @@ noise cracks (t = clamp(T/50, 0, 1), crack = smoothstep(0.4, 0.6, |n2|),
 heat color (1, .3, .1), L188-191), whole-body glow above T = 50 (L194),
 ambient 0.05 (L197), and body spin rot.y += 0.2 dt (L549).
 
-TPU-first design: instead of a raster pipeline, the K largest on-screen
-bodies each shade a fixed P x P pixel tile as a batched [K, P, P] XLA
-computation (one fused elementwise pass — no scatter in the inner math),
-then one scatter composites the discs over the HDR buffer. 3D VALUE noise
-(hash lattice + smoothstep trilinear blend) stands in for simplex — same
-frequency/weight/seed semantics, same [-1, 1] range, cheaper on the VPU
-and with no lookup tables. Deterministic: the per-body seed is the body's
-slot index (stable across frames; the reference's Math.random seed is
-irreproducible by design).
+TPU-first design: instead of a raster pipeline, every pixel z-tests the
+K largest on-screen discs (processed in fixed-size CHUNKS so memory stays
+O(H x W) and K can reach hundreds), the nearest covering body wins, and
+one fused elementwise pass shades each pixel with its winner's
+parameters. Surface detail uses true 3D SIMPLEX noise (the standard
+Ashima/McEwan lattice algorithm the reference embeds, re-derived here as
+stacked per-corner JAX math — all VPU elementwise ops, no lookup tables);
+`value_noise3` remains as a cheaper hash-lattice study variant.
+Deterministic: the per-body seed is the body's slot index (stable across
+frames; the reference's Math.random seed is irreproducible by design).
 
 Far bodies keep the cheap gaussian splat (nbx.render.splat); this pass
 overdraws the discs of the K nearest so close-ups show textured, rim-lit,
@@ -37,6 +38,7 @@ SUN_POSITION = np.array([50.0, 50.0, 50.0], np.float32)  # L493, L738
 AMBIENT = 0.05  # L197
 SPIN_RATE = 0.2  # rad/s about +y (L549)
 HEAT_COLOR = np.array([1.0, 0.3, 0.1], np.float32)  # L190
+BODY_GLOW_COLOR = np.array([1.0, 0.5, 0.2], np.float32)  # L194
 
 
 def _hash3(ix, iy, iz, seed):
@@ -75,12 +77,107 @@ def value_noise3(p, seed):
     return 2.0 * (y0 + (y1 - y0) * fz) - 1.0
 
 
+def _mod289(x):
+    return x - jnp.floor(x * (1.0 / 289.0)) * 289.0
+
+
+def _permute(x):
+    return _mod289(((x * 34.0) + 1.0) * x)
+
+
+def simplex_noise3(v):
+    """3D simplex noise in [-1, 1] — the standard Ashima/McEwan lattice
+    algorithm (the reference embeds the GLSL original at
+    /root/reference/index.html:118-162), re-derived as per-corner stacked
+    JAX ops: skew to the simplex lattice, rank the fractional coords to
+    pick the simplex traversal, permutation-polynomial hash
+    (((34x+1)x mod 289), gradients from a 7x7 lattice with Taylor-series
+    inverse-sqrt normalisation, quintic radial falloff (0.6 - r^2)^4.
+    v: [..., 3] float32. All VPU elementwise math — no tables."""
+    f32 = jnp.float32
+    v = v.astype(f32)
+    c_x, c_y = f32(1.0 / 6.0), f32(1.0 / 3.0)
+    s = (v[..., 0] + v[..., 1] + v[..., 2]) * c_y
+    i = jnp.floor(v + s[..., None])
+    t = (i[..., 0] + i[..., 1] + i[..., 2]) * c_x
+    x0 = v - i + t[..., None]
+
+    x0x, x0y, x0z = x0[..., 0], x0[..., 1], x0[..., 2]
+    gx = (x0x >= x0y).astype(f32)
+    gy = (x0y >= x0z).astype(f32)
+    gz = (x0z >= x0x).astype(f32)
+    # i1/i2: offsets of the 2nd/3rd simplex corner along the coord ranking
+    i1 = jnp.stack(
+        [
+            jnp.minimum(gx, 1.0 - gz),
+            jnp.minimum(gy, 1.0 - gx),
+            jnp.minimum(gz, 1.0 - gy),
+        ],
+        -1,
+    )
+    i2 = jnp.stack(
+        [
+            jnp.maximum(gx, 1.0 - gz),
+            jnp.maximum(gy, 1.0 - gx),
+            jnp.maximum(gz, 1.0 - gy),
+        ],
+        -1,
+    )
+    x1 = x0 - i1 + c_x
+    x2 = x0 - i2 + 2.0 * c_x
+    x3 = x0 - 0.5
+
+    i = _mod289(i)
+    iz, iy, ix = i[..., 2], i[..., 1], i[..., 0]
+    # corner lattice offsets, stacked on a trailing axis of 4
+    oz = jnp.stack(
+        [jnp.zeros_like(iz), i1[..., 2], i2[..., 2], jnp.ones_like(iz)], -1
+    )
+    oy = jnp.stack(
+        [jnp.zeros_like(iy), i1[..., 1], i2[..., 1], jnp.ones_like(iy)], -1
+    )
+    ox = jnp.stack(
+        [jnp.zeros_like(ix), i1[..., 0], i2[..., 0], jnp.ones_like(ix)], -1
+    )
+    p = _permute(
+        _permute(_permute(iz[..., None] + oz) + iy[..., None] + oy)
+        + ix[..., None]
+        + ox
+    )
+
+    # gradient from the hash: a point on a 7x7 lattice mapped to [-1, 1]
+    one7 = f32(1.0 / 7.0)
+    j = p - 49.0 * jnp.floor(p * (one7 * one7))
+    gx4 = jnp.floor(j * one7)
+    gy4 = jnp.floor(j - 7.0 * gx4)
+    gx4 = gx4 * (2.0 * one7) + (one7 * 0.5 - 1.0)
+    gy4 = gy4 * (2.0 * one7) + (one7 * 0.5 - 1.0)
+    gz4 = 1.0 - jnp.abs(gx4) - jnp.abs(gy4)
+    # fold gradients with |gz| > 0 back onto the octahedron surface
+    sh = -(gz4 <= 0.0).astype(f32)
+    gx4 = gx4 + (jnp.floor(gx4) * 2.0 + 1.0) * sh
+    gy4 = gy4 + (jnp.floor(gy4) * 2.0 + 1.0) * sh
+
+    xs = jnp.stack([x0x, x1[..., 0], x2[..., 0], x3[..., 0]], -1)
+    ys = jnp.stack([x0y, x1[..., 1], x2[..., 1], x3[..., 1]], -1)
+    zs = jnp.stack([x0z, x1[..., 2], x2[..., 2], x3[..., 2]], -1)
+    norm = 1.79284291400159 - 0.85373472095314 * (
+        gx4 * gx4 + gy4 * gy4 + gz4 * gz4
+    )
+    dot4 = (gx4 * xs + gy4 * ys + gz4 * zs) * norm
+    m = jnp.maximum(0.6 - (xs * xs + ys * ys + zs * zs), 0.0)
+    m = m * m
+    return 42.0 * jnp.sum(m * m * dot4, -1)
+
+
 def surface_detail(p_obj, seed):
-    """Two-octave detail exactly as L166-168: n1 at freq 0.5, n2 at freq
-    2.0, detail = 0.6 n1 + 0.4 n2. Returns (detail, n2) — n2 also drives
-    the crack mask (L189)."""
-    n1 = value_noise3(p_obj * 0.5, seed)
-    n2 = value_noise3(p_obj * 2.0, seed)
+    """Two-octave detail exactly as L166-168: n1 = snoise(p*0.5 + seed),
+    n2 = snoise(p*2.0 + 2*seed), detail = 0.6 n1 + 0.4 n2 — the seed
+    enters as a POSITION OFFSET, as in the reference. Returns
+    (detail, n2) — n2 also drives the crack mask (L189)."""
+    seed = jnp.asarray(seed, jnp.float32)[..., None]
+    n1 = simplex_noise3(p_obj * 0.5 + seed)
+    n2 = simplex_noise3(p_obj * 2.0 + seed * 2.0)
     return n1 * 0.6 + n2 * 0.4, n2
 
 
@@ -141,28 +238,43 @@ def draw_impostors(
     valid = score_p[sel] > 1.0  # skip sub-pixel and off-screen picks
     sel = jnp.minimum(sel, pos.shape[0] - 1)  # padded picks (invalid) clamp
 
-    # per-pixel coverage test against the K discs
-    xs = jnp.arange(width, dtype=jnp.float32)[None, :, None]  # [1, W, 1]
-    ys = jnp.arange(height, dtype=jnp.float32)[:, None, None]  # [H, 1, 1]
-    safe_pr = jnp.maximum(pr[sel], 1e-3)
-    ox_k = (xs - px[sel]) / safe_pr  # [H, W, K]
-    oy_k = (ys - py[sel]) / safe_pr
-    d2_k = ox_k * ox_k + oy_k * oy_k
-    inside_k = (d2_k < 1.0) & valid & (z[sel] > 1e-3)
-    zbuf = jnp.where(inside_k, z[sel], jnp.inf)
-    win = jnp.argmin(zbuf, axis=-1)  # [H, W] nearest covering disc
-    covered = jnp.any(inside_k, axis=-1)  # [H, W]
+    # per-pixel nearest covering disc, K processed in fixed-size chunks so
+    # live memory stays O(H x W) — this is what lets n_impostors reach the
+    # reference's every-body fidelity (256+) instead of topping out at 64
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]  # [1, W]
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]  # [H, 1]
+    chunk = min(32, n_impostors)
+    zmin = jnp.full((height, width), jnp.inf, jnp.float32)
+    win_body = jnp.zeros((height, width), jnp.int32)
+    for c0 in range(0, n_impostors, chunk):
+        sl = sel[c0 : c0 + chunk]
+        safe_pr = jnp.maximum(pr[sl], 1e-3)
+        ox_k = (xs[..., None] - px[sl]) / safe_pr  # [H, W, ck]
+        oy_k = (ys[..., None] - py[sl]) / safe_pr
+        d2_k = ox_k * ox_k + oy_k * oy_k
+        inside_k = (d2_k < 1.0) & valid[c0 : c0 + chunk] & (z[sl] > 1e-3)
+        zbuf = jnp.where(inside_k, z[sl], jnp.inf)
+        zc = jnp.min(zbuf, axis=-1)
+        wc = jnp.argmin(zbuf, axis=-1)
+        better = zc < zmin  # strict: z-ties keep the earlier (higher-
+        zmin = jnp.where(better, zc, zmin)  # score) pick, as one argmin would
+        win_body = jnp.where(better, sl[wc], win_body)
+    covered = jnp.isfinite(zmin)  # [H, W]
 
-    take = lambda a: jnp.take_along_axis(a, win[..., None], -1)[..., 0]
-    ox = take(ox_k)
-    oy = take(oy_k)
-    d2 = take(d2_k)
-    body = sel[win]  # [H, W] winning body slot
+    body = win_body  # [H, W] winning body slot
+    # winner disc coords recomputed from the winner's projection (cheaper
+    # than carrying per-chunk candidates through the loop)
+    b_pr = jnp.maximum(pr[body], 1e-3)
+    ox = (xs - px[body]) / b_pr
+    oy = (ys - py[body]) / b_pr
+    d2 = ox * ox + oy * oy
     b_pos = pos[body]  # [H, W, 3]
     b_rad = radius[body]
     b_temp = temp[body]
     b_mat = mat[body]
-    seed = body.astype(jnp.float32)  # deterministic per-slot seed
+    # deterministic per-slot seed; the scale decorrelates adjacent slots
+    # (the reference draws seed = rand * 100, L496 — irreproducible)
+    seed = body.astype(jnp.float32) * 19.19
 
     # camera basis (right, up, forward) for screen -> world normals
     fwd = cam.target - cam.eye
@@ -196,10 +308,8 @@ def draw_impostors(
     # unit icosphere, L458); x3 puts a few noise cells across the disc
     p_obj = n_spun * 3.0
     detail, n2 = surface_detail(p_obj, seed)
-    # extra noise taps perturb the normal (L174-181's nPerturbed)
-    nb1 = value_noise3(p_obj * 2.0 + 11.0, seed)
-    nb2 = value_noise3(p_obj * 2.0 + 29.0, seed)
-    n_pert = n_world + 0.15 * jnp.stack([nb1, nb2, nb1 * nb2], -1)
+    # bump: normal = normalize(normal + detail * 0.1), L180
+    n_pert = n_world + 0.1 * detail[..., None]
     n_pert = n_pert / jnp.linalg.norm(n_pert, axis=-1, keepdims=True)
 
     c1 = color1[b_mat]  # [H, W, 3]
@@ -208,23 +318,25 @@ def draw_impostors(
 
     sun_dir = SUN_POSITION - p_surf
     sun_dir = sun_dir / jnp.linalg.norm(sun_dir, axis=-1, keepdims=True)
-    lambert = jnp.maximum(jnp.sum(n_pert * sun_dir, -1), 0.0)  # L178
+    lambert = jnp.maximum(jnp.sum(n_pert * sun_dir, -1), 0.0)  # L182
 
     view = cam.eye - p_surf
     view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
-    fresnel = (
-        jnp.maximum(1.0 - jnp.sum(view * n_world, -1), 0.0) ** 3
-    )  # L184
+    # L185: fresnel on the PERTURBED normal (the shader reuses `normal`)
+    fresnel = jnp.maximum(1.0 - jnp.sum(view * n_pert, -1), 0.0) ** 3
 
     t_norm = jnp.clip(b_temp / 50.0, 0.0, 1.0)  # L188
     crack = _smoothstep(0.4, 0.6, jnp.abs(n2))  # L189
-    glow_body = jnp.where(b_temp > 50.0, t_norm, 0.0)  # L194
+    # L190-191: heat glows in the CRACKS (inverted noise mask), gain 5
+    heat = (1.0 - crack) * t_norm * 5.0
+    # L194: bodyGlow = (1, .5, .2) * max(0, T - 50) * 0.005
+    glow_body = jnp.maximum(b_temp - 50.0, 0.0) * 0.005
 
     rgb = (
-        base * (AMBIENT + lambert[..., None])  # L197 + L178
+        base * (AMBIENT + lambert[..., None])  # L196-197
         + fresnel[..., None] * c1 * 0.5  # L185
-        + HEAT_COLOR * (t_norm * crack)[..., None] * 2.0  # L190-191
-        + HEAT_COLOR * glow_body[..., None] * 0.6  # L194
+        + HEAT_COLOR * heat[..., None]  # L190-191
+        + BODY_GLOW_COLOR * glow_body[..., None]  # L194
     )
     if light_gain is not None:
         # incident flash light (triggerFlash's PointLight illuminating
@@ -236,7 +348,7 @@ def draw_impostors(
         )
 
     depth = jnp.where(
-        covered, take(zbuf) - 0.5 * b_rad, jnp.inf
+        covered, zmin - 0.5 * b_rad, jnp.inf
     )  # front-surface depth; own-center z fails z <= depth (self-cull)
     img = jnp.where(covered[..., None], rgb.astype(img_hdr.dtype), img_hdr)
     return img, depth

@@ -431,6 +431,29 @@ def test_granular_pm_gravity_loop():
     assert np.abs(np.asarray(st.vel)).max() > 0  # gravity acted
 
 
+def test_granular_p3m_pp_buckets_matches_uniform():
+    """p3m_pp_buckets threads the occupancy-bucketed PP layout into the
+    granular P3M loop: same trajectory as the uniform layout to fp
+    tolerance (the pair set is identical by construction)."""
+    pos, vel, mass = _granular_scene(seed=9, n=48)
+    cfg = SimConfig(G=1.0, dt=0.004, sub_steps=1, merge_time=1e9,
+                    fracture_threshold=1e9)
+
+    def run(buckets):
+        st = make_granular_state(pos, vel, mass, key=9)
+        st, _ = granular_full_kdk_scan(
+            st, cfg, BOX, n_steps=4, n_cells=2, max_per_cell=64,
+            force_impl="p3m", pm_grid=32, p3m_cells=4, p3m_k=16,
+            p3m_max_residual=64, interpret=True,
+            p3m_pp_buckets=buckets,
+        )
+        return np.asarray(st.pos)
+
+    base = run(None)
+    buck = run(((8, 8, 16), (16, 16, 72)))
+    np.testing.assert_allclose(buck, base, rtol=1e-5, atol=1e-6)
+
+
 def test_compacted_matches_packed():
     """Occupancy-compacted packed layout == whole-grid packed layout when
     both cover the scene (same partners, same deltas to fp tolerance)."""

@@ -6,7 +6,9 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from nbx.render.impostor import draw_impostors, surface_detail, value_noise3
+from nbx.render.impostor import (
+    draw_impostors, simplex_noise3, surface_detail, value_noise3,
+)
 from nbx.render.splat import Camera
 
 W, H = 320, 180
@@ -52,6 +54,83 @@ def test_noise_range_and_determinism():
     assert np.abs(n1 - n3).max() > 0.1  # seed actually matters
     d, _ = surface_detail(p, 3.0)
     assert np.abs(np.asarray(d)).max() <= 1.0
+
+
+def test_simplex_noise_properties():
+    """True simplex noise (index.html:118-162 semantics): bounded to
+    [-1, 1], zero-mean-ish, continuous, deterministic, and offset-
+    sensitive (the reference seeds by position offset, L166-167)."""
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.uniform(-20, 20, (4000, 3)), jnp.float32)
+    n = np.asarray(simplex_noise3(p))
+    assert np.abs(n).max() <= 1.0
+    assert abs(n.mean()) < 0.1
+    assert n.std() > 0.15  # real texture, not a constant
+    np.testing.assert_array_equal(n, np.asarray(simplex_noise3(p)))
+    # seed-as-offset changes the field
+    n_off = np.asarray(simplex_noise3(p + 37.0))
+    assert np.abs(n - n_off).max() > 0.1
+    # continuity: a tiny step moves the value a little, not a jump
+    dn = np.asarray(simplex_noise3(p + 1e-3)) - n
+    assert np.abs(dn).max() < 0.05
+    # detail octaves stay bounded
+    d, n2 = surface_detail(p, 3.0)
+    assert np.abs(np.asarray(d)).max() <= 1.0
+    assert np.abs(np.asarray(n2)).max() <= 1.0
+
+
+def _grid_scene(n_side):
+    """n_side^2 equal spheres in a camera-facing grid, all discs visible
+    and disjoint at the default 45-degree camera from z=40."""
+    k = n_side * n_side
+    xs = (np.arange(n_side) - (n_side - 1) / 2.0) * 2.2
+    gx, gy = np.meshgrid(xs, xs)
+    pos = np.stack([gx.ravel(), gy.ravel(), np.zeros(k)], -1)
+    return dict(
+        pos=jnp.asarray(pos, jnp.float32),
+        radius=jnp.full((k,), 0.9, jnp.float32),
+        temp=jnp.zeros(k),
+        mat=jnp.zeros(k, jnp.int32),
+        alive=jnp.ones(k, bool),
+        color1=jnp.asarray([[0.8, 0.5, 0.3]]),
+        color2=jnp.asarray([[0.2, 0.2, 0.25]]),
+    )
+
+
+def test_chunked_selection_matches_small_k():
+    """The chunked multi-pass winner (K > 32) bit-matches a single-chunk
+    render when the extra candidate slots are empty."""
+    body = _grid_scene(3)  # 9 bodies
+    img = jnp.zeros((H, W, 3), jnp.float32)
+    args = (img, body["pos"], body["radius"], body["temp"], body["mat"],
+            body["alive"], body["color1"], body["color2"], _cam(), 0.0)
+    a, da = draw_impostors(*args, width=W, height=H, n_impostors=16)
+    b, db = draw_impostors(*args, width=W, height=H, n_impostors=80)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+
+def test_256_body_closeup_all_shaded():
+    """VERDICT 8b: with n_impostors=256 a 256-body close-up keeps surface
+    texture on EVERY body — each disc's centre pixel is impostor-covered
+    (reference shades every planet, index.html:484-498)."""
+    from nbx.render.splat import project
+
+    body = _grid_scene(16)  # 256 bodies
+    img = jnp.zeros((H, W, 3), jnp.float32)
+    out, depth = draw_impostors(
+        img, body["pos"], body["radius"], body["temp"], body["mat"],
+        body["alive"], body["color1"], body["color2"], _cam(), 0.0,
+        width=W, height=H, n_impostors=256,
+    )
+    depth = np.asarray(depth)
+    px, py, _ = project(_cam(), body["pos"], W, H)
+    px = np.clip(np.asarray(px).round().astype(int), 0, W - 1)
+    py = np.clip(np.asarray(py).round().astype(int), 0, H - 1)
+    assert np.isfinite(depth[py, px]).all(), "every disc centre shaded"
+    # textured, not flat: the shaded output varies across each disc
+    out = np.asarray(out)
+    assert out[depth < np.inf].std() > 0.01
 
 
 def test_disc_coverage_and_opacity():

@@ -40,6 +40,76 @@ def test_pp_pallas_matches_xla():
     np.testing.assert_allclose(ap, ax, rtol=2e-5, atol=3e-6 * scale)
 
 
+def test_pp_pallas_bucketed_matches_uniform():
+    """Occupancy-bucketed cells (buckets=...): identical pair set to the
+    uniform layout — accelerations match to fp tolerance, no drops on
+    correctly-sized budgets, and a clustered scene actually splits across
+    buckets (bulk caps < K)."""
+    from nbx.ops.ppkernel import pp_buckets_for
+
+    rng = np.random.default_rng(7)
+    field = rng.uniform(1.0, 49.0, (600, 3))
+    core = np.clip(rng.normal(25.0, 1.5, (300, 3)), 1.0, 49.0)
+    pos = jnp.asarray(np.concatenate([field, core]), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 900), jnp.float32)
+    box, g, k = 50.0, 6, 64
+    G, a, eps = 0.7, (box / g) / 3.0, 0.05
+
+    buckets = pp_buckets_for(pos, box, g, k)
+    assert buckets is not None and buckets[0][0] < k, buckets
+    acc_u, novf_u = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True
+    )
+    acc_b, novf_b = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True, buckets=buckets
+    )
+    assert int(novf_b) == int(novf_u)  # no bucket drops, same cap count
+    au, ab = np.asarray(acc_u), np.asarray(acc_b)
+    scale = np.abs(au).max()
+    np.testing.assert_allclose(ab, au, rtol=2e-5, atol=3e-6 * scale)
+
+
+def test_pp_pallas_bucketed_drop_counted():
+    """An undersized LAST-bucket budget drops whole cells; the dropped
+    cells' kept bodies are counted into n_overflow (no-silent-caps) and
+    p3m_acceleration surfaces them in n_uncorrected."""
+    pos, mass = _scene(n=400, seed=11, lo=1.0, hi=49.0)
+    box, g, k = 50.0, 4, 16
+    G, a, eps = 0.7, (box / g) / 3.0, 0.05
+    _, novf_u = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True
+    )
+    # tiny budgets: bulk 8 cells, tail 8 cells << 64 occupied cells
+    _, novf_b = short_range_acc_pallas(
+        pos, mass, G, a, box, g, k, eps, interpret=True,
+        buckets=((8, 8, 8), (16, 16, 8)),
+    )
+    assert int(novf_b) > int(novf_u)
+    _, unc = p3m_acceleration(
+        pos, mass, G, box, g=16, n_cells=g, max_per_cell=k, eps=eps,
+        max_residual=256, pp_impl="pallas", interpret=True,
+        pp_buckets=((8, 8, 8), (16, 16, 8)),
+    )
+    assert int(unc) > 0
+
+
+def test_pp_buckets_for_uniform_scene_declines():
+    """Near-uniform occupancy: bucketing cannot pay (bulk caps ~ K) and
+    the tuner returns None rather than a pointless second launch."""
+    from nbx.ops.ppkernel import pp_buckets_for
+
+    # high per-cell counts => tight Poisson (sigma/mu ~ 6%): the 0.8-
+    # quantile caps land at ~K and bucketing cannot shed enough lanes
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(1.0, 49.0, (20000, 3)), jnp.float32)
+    g = 4
+    ijk = np.clip((np.asarray(pos) / (50.0 / g)).astype(int), 0, g - 1)
+    cid = (ijk[:, 0] * g + ijk[:, 1]) * g + ijk[:, 2]
+    cnt_max = np.bincount(cid, minlength=g**3).max()
+    buckets = pp_buckets_for(pos, 50.0, g, int(cnt_max))
+    assert buckets is None, buckets
+
+
 def test_pp_pallas_erfc_accuracy():
     """The in-kernel A&S 7.1.26 erfc: with a >> scene size (erfc -> 1 in
     the force law) the short-range pass alone equals the direct softened

@@ -1,0 +1,300 @@
+"""A/B probe of bucketed-layout CONSTRUCTION variants at two N.
+
+layoutsplit pins the 262k superlinearity (VERDICT round-3 weak item 1) to
+the layout stages: strips 9.25 -> 25.05 ms, fused 1.93 -> 11.59,
+epilogue 2.92 -> 8.98 for 2x N (131k g=32 -> 262k g=40). The strips and
+tgt gathers are per-ROW (64 B chunks) even though every row's indices are
+a CONSECUTIVE run off the cell sort — XLA cannot see the contiguity
+through a computed index array. Variants:
+
+  cur   the shipped construction (_packed_bucketed_blocks bulk path)
+  ds    strips via vmapped lax.dynamic_slice (one [s_capw, 16] contiguous
+        chunk per window off an ok-masked, tail-padded feats copy; run
+        mask applied arithmetically after) + shipped transpose/fused
+  dsT   stripsT sliced DIRECTLY from transposed feats ([16, s_capw]
+        chunks — the strip transpose pass disappears) + shipped fused
+  dsTb  dsT + broadcast-index fused gather landing straight in
+        [bmax, 16, 9, s_capw] order (the fused transpose disappears;
+        chunk shrinks 16x to one s_capw row)
+  dsb   ds + broadcast-index fused (keeps the strip transpose, drops the
+        fused one)
+
+All variants also take tgt via dynamic_slice ([t_rows, 16] runs) except
+`cur`. Each timing is the warmed-scan slope (CLAUDE.md methodology) of
+the FULL bucket-0 pass: construction + kernel + epilogue gather, reduced
+to a scalar so the tunnel readback stays out of the number. Variants are
+bit-identical by construction (same pair set, same masks) — asserted
+once per size before timing.
+
+    env PYTHONPATH=/root/repo:/root/.axon_site python -m nbx.bench.layoutvar \
+        [N1,N2] [cfg1] [cfg2]
+    # defaults: 131072,262144 32,8 40,8
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbx.bench.granular import BOX, granular_cloud
+from nbx.config import SimConfig, body_radius
+from nbx.ops.collide import (
+    LANE, _body_feats, _collide_kernel_fused, _column_neighbors,
+    _invert_order, _round_up, bucketed_layout_for,
+)
+from nbx.ops.p3m import cell_sort, take_rows
+
+S_SHORT, S_LONG = 3, 12
+
+
+def _time(run):
+    run(S_SHORT)
+    run(S_LONG)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(S_SHORT)
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(S_LONG)
+        t_l = time.perf_counter() - t0
+        best = min(best, (t_l - t_s) / (S_LONG - S_SHORT))
+    return best * 1e3
+
+
+def _make(pos0, vel, mass, radius, box, g, band, buckets, variant):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pos0.shape[0]
+    b = band
+    n_cols = g * g
+    g3 = n_cols * g
+    n_bands = -(-g // b)
+    t_cap, s_cap, bmax = buckets[0]
+    t_rows = _round_up(max(t_cap, 8), 8)
+    s_capw = max(s_cap, 8)
+    s_rows = _round_up(9 * s_capw, LANE)
+    i32 = jnp.int32
+    f32 = jnp.float32
+    neigh = _column_neighbors(g)
+    cols = jnp.arange(n_cols, dtype=i32)
+    w_r = jnp.arange(n_bands, dtype=i32)
+    lo = jnp.maximum(w_r * b - 1, 0)
+    hi = jnp.minimum(w_r * b + b + 1, g)
+
+    def f(p):
+        feats = _body_feats(p, vel, mass, radius, box)
+        order, starts, cid_sorted = cell_sort(p, box, g)
+        feats_sorted = jnp.concatenate([feats[order], feats[n:]], 0)
+        ts_tab = starts[cols[:, None] * g + w_r[None, :] * b]
+        cnt_t = starts[
+            cols[:, None] * g + jnp.minimum(w_r[None, :] * b + b, g)
+        ] - ts_tab
+        p_r = jnp.arange(n, dtype=i32)
+        col_s = cid_sorted // g
+        w_own = (cid_sorted - col_s * g) // b
+        rank_t = p_r - ts_tab[col_s, w_own]
+        ok_sorted = rank_t < t_rows
+        t_ok = jnp.concatenate([ok_sorted, jnp.zeros((1,), bool)])
+        ar_s = jnp.arange(s_capw, dtype=i32)
+        ar_t = jnp.arange(t_rows, dtype=i32)
+        ss_own = starts[cols[:, None] * g + lo[None, :]]
+        se_own = starts[cols[:, None] * g + hi[None, :]]
+        run_own = se_own - ss_own
+        wsel, wvalid = take_rows((cnt_t > 0).reshape(-1), bmax)
+        col_sel = wsel // n_bands
+        w_sel = wsel - col_sel * n_bands
+        ts_sel = ts_tab[col_sel, w_sel]
+        cnt_sel = jnp.where(wvalid, cnt_t[col_sel, w_sel], 0)
+
+        dead = feats[n]
+
+        if variant == "cur":
+            valid_t = ar_t[None, :] < jnp.minimum(cnt_sel, t_rows)[:, None]
+            take_t = jnp.minimum(ts_sel[:, None] + ar_t, n)
+            tgt = feats_sorted[
+                jnp.where(valid_t, take_t, n)].reshape(-1, 16)
+            valid_so = (
+                ar_s[None, None, :]
+                < jnp.minimum(run_own, s_capw)[..., None]
+            )
+            take_so = jnp.minimum(ss_own[..., None] + ar_s, n)
+            strips = feats_sorted[
+                jnp.where(valid_so & t_ok[take_so], take_so, n)
+            ]
+            stripsT = strips.transpose(0, 1, 3, 2)
+            stripsT = jnp.concatenate(
+                [stripsT,
+                 jnp.broadcast_to(dead[:, None], (1, n_bands, 16, s_capw))],
+                axis=0)
+            fused = stripsT[neigh[col_sel], w_sel[:, None]]
+            src = fused.transpose(0, 2, 1, 3).reshape(bmax, 16, 9 * s_capw)
+        else:
+            # ---- shared: ok-masked, tail-padded operand ------------------
+            pad_rows = max(s_capw, t_rows)
+            op = jnp.concatenate(
+                [jnp.where(t_ok[:n, None], feats_sorted[:n], dead),
+                 jnp.broadcast_to(dead[None], (pad_rows + 1, 16))], 0)
+            # tgt via [t_rows, 16] contiguous run slices (t_ok rows are
+            # never beyond rank t_rows, but masked rows inside the run are
+            # fine to keep dead — slices read the MASKED operand, so a
+            # dropped body is dead in its own target row too; the shipped
+            # path keeps it alive as a target. Bucket-0 windows have
+            # cnt <= t_cap <= t_rows, so no row is masked: identical.)
+            tgt = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(op, (s, 0), (t_rows, 16))
+            )(ts_sel)
+            valid_t = (ar_t[None, :]
+                       < jnp.minimum(cnt_sel, t_rows)[:, None])
+            tgt = jnp.where(valid_t[..., None], tgt, dead)
+            tgt = tgt.reshape(-1, 16)
+
+            valid_so = (
+                ar_s[None, None, :]
+                < jnp.minimum(run_own, s_capw)[..., None]
+            )
+            if variant in ("ds", "dsb"):
+                strips = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        op, (s, 0), (s_capw, 16))
+                )(ss_own.reshape(-1)).reshape(n_cols, n_bands, s_capw, 16)
+                strips = jnp.where(valid_so[..., None], strips, dead)
+                stripsT = strips.transpose(0, 1, 3, 2)
+            else:  # dsT, dsTb: slice the TRANSPOSED operand directly
+                opT = op.T  # [16, n + pad]
+                stripsT = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        opT, (0, s), (16, s_capw))
+                )(ss_own.reshape(-1)).reshape(n_cols, n_bands, 16, s_capw)
+                stripsT = jnp.where(
+                    valid_so[:, :, None, :], stripsT, dead[:, None])
+            stripsT = jnp.concatenate(
+                [stripsT,
+                 jnp.broadcast_to(dead[:, None], (1, n_bands, 16, s_capw))],
+                axis=0)
+            if variant in ("ds", "dsT"):
+                fused = stripsT[neigh[col_sel], w_sel[:, None]]
+                src = fused.transpose(0, 2, 1, 3).reshape(
+                    bmax, 16, 9 * s_capw)
+            else:  # dsb, dsTb: broadcast-index gather, already in order
+                fused = stripsT[
+                    neigh[col_sel][:, None, :],      # [bmax, 1, 9]
+                    w_sel[:, None, None],            # [bmax, 1, 1]
+                    jnp.arange(16, dtype=i32)[None, :, None],
+                ]  # [bmax, 16, 9, s_capw]
+                src = fused.reshape(bmax, 16, 9 * s_capw)
+
+        lane_pad = jnp.broadcast_to(
+            dead[:, None], (bmax, 16, s_rows - 9 * s_capw))
+        src = jnp.concatenate([src, lane_pad], 2).reshape(-1, s_rows)
+
+        par = jnp.asarray([[0.2, 0.5]], f32)
+        delta, evt = pl.pallas_call(
+            _collide_kernel_fused,
+            grid=(bmax,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=60 * bmax * t_rows * s_rows,
+                bytes_accessed=(bmax * (t_rows * 16 + s_rows * 16
+                                        + t_rows * 16)) * 4,
+                transcendentals=bmax * t_rows * s_rows,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=False,
+        )(par, tgt, src)
+
+        inv = _invert_order(order, n)
+        f_own = col_s * n_bands + w_own
+        wrank = jnp.cumsum((cnt_t > 0).reshape(-1).astype(i32)) - 1
+        slot_sorted = jnp.where(
+            ok_sorted & (wrank[f_own] < bmax),
+            wrank[f_own] * t_rows + rank_t, bmax * t_rows)
+        body_slot = slot_sorted[inv]
+        delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], 0)
+        out_d = delta_p[body_slot]
+        return out_d, order
+
+    def nudge(p, x):
+        return p + (x % 7).astype(jnp.float32)[:, None] * 1e-7
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def scan(p, steps: int):
+        def body(carry, _):
+            p = carry
+            out_d, order = body_f(p)
+            return nudge(p, order) + jnp.sum(out_d[:, 0]) * 1e-20, None
+
+        out, _ = jax.lax.scan(body, p, None, length=steps)
+        return out
+
+    def body_f(p):
+        return f(p)
+
+    once = jax.jit(lambda p: f(p)[0])
+    return scan, once
+
+
+def main(argv):
+    ns = [int(x) for x in (argv[0] if argv else
+                           "131072,262144").split(",")]
+    cfgs = argv[1:] or ["32,8", "40,8"]
+    variants = ["cur", "ds", "dsT", "dsTb", "dsb"]
+    for n_bodies, cfg_s in zip(ns, cfgs):
+        g, band = (int(x) for x in cfg_s.split(","))
+        box = BOX * (n_bodies / 131072.0) ** (1.0 / 3.0)
+        pos, vel, mass = granular_cloud(n_bodies, box=box)
+        pos = jnp.asarray(pos)
+        vel = jnp.asarray(vel)
+        mass = jnp.asarray(mass)
+        cfg = SimConfig()
+        radius = body_radius(mass, jnp.zeros(n_bodies, jnp.int32),
+                             cfg.materials)
+        buckets = bucketed_layout_for(pos, box, g, band,
+                                      split_quantile=0.8)
+        out = {"n": n_bodies, "g": g, "band": band,
+               "bucket0": buckets[0], "n_buckets": len(buckets)}
+        ref = None
+        for v in variants:
+            scan, once = _make(pos, vel, mass, radius, box, g, band,
+                               buckets, v)
+            got = np.asarray(once(pos))
+            if ref is None:
+                ref = got
+            else:
+                if not np.array_equal(ref, got):
+                    bad = int((ref != got).sum())
+                    out[f"mismatch_{v}"] = bad
+            ms = _time(lambda s: np.asarray(scan(pos, s)))
+            out[f"ms_{v}"] = round(ms, 2)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1422,8 +1422,20 @@ def _packed_bucketed_blocks(
         ok_sorted = ok_sorted | (sel[f_own] & (rank_t < t_rows))
     t_ok = jnp.concatenate([ok_sorted, jnp.zeros((1,), bool)])
 
-    out_d = jnp.zeros((n, 8), f32)
-    out_e = jnp.full((n, 8), DEPTH_SENTINEL, f32)
+    # cross-bucket epilogue fusion: each body's target slot lives in
+    # exactly ONE bucket, so instead of one [n, 8] body-order gather PER
+    # bucket (out_d += delta_p[body_slot] — B random gathers of 32 B
+    # rows), collect every bucket's kernel outputs into one concatenated
+    # table and gather ONCE through a combined slot map (offset per
+    # bucket). Bit-identical: the old merge summed exactly one non-zero
+    # contribution (deltas) / picked the one non-sentinel row (events).
+    deltas, evts = [], []
+    m_total = sum(
+        bmax * _round_up(max(t_cap, 8), 8)
+        for (t_cap, _, bmax) in buckets
+    )
+    slot_all = jnp.full((n,), m_total, i32)
+    slot_base = 0
     n_overflow = jnp.int32(0)
     cnt_flat = cnt_t.reshape(-1)
     for bi, ((t_cap, s_cap, bmax), flf, sel, wrank) in enumerate(
@@ -1538,22 +1550,22 @@ def _packed_bucketed_blocks(
             interpret=interpret,
         )(par, tgt, src)
 
-        # merge into body order: deltas sum (disjoint slots), evt by pick
-        delta_p = jnp.concatenate([delta, jnp.zeros((1, 8), f32)], axis=0)
-        evt_p = jnp.concatenate(
-            [evt, jnp.full((1, 8), DEPTH_SENTINEL, f32)], axis=0
-        )
-        slot_sorted = jnp.where(
+        deltas.append(delta)
+        evts.append(evt)
+        slot_all = jnp.where(
             sel[f_own] & (rank_t < t_rows),
-            wrank[f_own] * t_rows + rank_t,
-            bmax * t_rows,
+            slot_base + wrank[f_own] * t_rows + rank_t,
+            slot_all,
         )
-        body_slot = slot_sorted[inv]
-        out_d = out_d + delta_p[body_slot]
-        e_k = evt_p[body_slot]
-        out_e = jnp.where((e_k[:, 0] > out_e[:, 0])[:, None], e_k, out_e)
+        slot_base += bmax * t_rows
 
-    return out_d, out_e, n_overflow
+    # ONE body-order gather over the concatenated tables (see above)
+    delta_all = jnp.concatenate(deltas + [jnp.zeros((1, 8), f32)], axis=0)
+    evt_all = jnp.concatenate(
+        evts + [jnp.full((1, 8), DEPTH_SENTINEL, f32)], axis=0
+    )
+    body_slot = slot_all[inv]
+    return delta_all[body_slot], evt_all[body_slot], n_overflow
 
 
 def _invert_order(order, n):

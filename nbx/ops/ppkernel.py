@@ -446,7 +446,16 @@ def short_range_acc_pallas(
         sels.append(sel)
         wranks.append(wrank)
 
-    acc_sorted = jnp.zeros((n, 3), f32)
+    # cross-bucket epilogue fusion (see nbx.ops.collide): every kept body
+    # has its target slot in exactly ONE bucket, so the per-bucket
+    # [n, 3] gathers collapse into a single gather over the concatenated
+    # output tables via a combined (bucket-offset) slot map
+    outs = []
+    m_total = sum(
+        bmax * t_round(min(t_cap, k)) for (t_cap, _, bmax) in buckets
+    )
+    slot_all = jnp.full((n,), m_total, i32)
+    slot_base = 0
     for (t_cap, s_cap, bmax), sel, wrank in zip(buckets, sels, wranks):
         t8 = t_round(min(t_cap, k))
         s8 = _round_up(max(min(s_cap, k), 8), 8)
@@ -511,15 +520,16 @@ def short_range_acc_pallas(
 
         out = pp_call(tgt.reshape(bmax * t8, 8), src, t8, s_rows, bmax)
 
-        slot_sorted = jnp.where(
+        outs.append(out)
+        slot_all = jnp.where(
             sel[cid_sorted] & (rank < min(k, t8)),
-            wrank[cid_sorted] * t8 + rank,
-            bmax * t8,
+            slot_base + wrank[cid_sorted] * t8 + rank,
+            slot_all,
         )
-        out_p = jnp.concatenate([out, jnp.zeros((1, 8), f32)], axis=0)
-        acc_sorted = acc_sorted + out_p[slot_sorted, :3]
+        slot_base += bmax * t8
 
-    return acc_sorted[inv], n_overflow
+    out_all = jnp.concatenate(outs + [jnp.zeros((1, 8), f32)], axis=0)
+    return out_all[slot_all, :3][inv], n_overflow
 
 
 def pp_buckets_for(

@@ -291,7 +291,12 @@ def main(argv):
                                    buckets, v)
                 got = np.asarray(once(pos))
                 if ref is None:
+                    # First variant that survives compile becomes the
+                    # bit-identity baseline (normally 'cur'; if 'cur' fails
+                    # its compile, record which variant took its place so
+                    # mismatch_* entries stay interpretable).
                     ref = got
+                    out["ref_variant"] = v
                 else:
                     if not np.array_equal(ref, got):
                         bad = int((ref != got).sum())
@@ -300,6 +305,11 @@ def main(argv):
                 out[f"ms_{v}"] = round(ms, 2)
             except Exception as e:
                 out[f"failed_{v}"] = str(e)[:200]
+            # Intentionally INSIDE the variant loop: each line is a
+            # cumulative snapshot so partial results survive a tunnel
+            # remote_compile hang mid-probe. The LAST line per config is
+            # the complete record; consumers should keep only the final
+            # line for each (n, g, band).
             print(json.dumps(out), flush=True)
 
 

@@ -19,6 +19,8 @@ merge/fracture/timers + thermal) per step at scale, for a sweep of
     #        g,K,B,c0.999 = same with a cap QUANTILE (counted overflow
     #        instead of tail-sized caps — the N-scaling tax trade);
     #        g,K,B,a0.999 = whole-grid packed with a cap quantile;
+    #        g,K,B,u0.8x4 = bucketed with windows_per_block=4 (multi-
+    #        window kernel programs);
     #        g,K,B,Tc,Sc,M = explicit compacted (M = max_blocks)
 
 Methodology (CLAUDE.md): differential warmed-scan timing — warm the EXACT
@@ -91,12 +93,14 @@ def granular_cloud(n: int, seed: int = 0, box: float = BOX):
 
 def time_config(st0, cfg, g, k, band, s_short=4, s_long=20,
                 force_impl="pm", pm_grid=128, packed=None, max_blocks=None,
-                buckets=None, box: float = BOX):
+                buckets=None, box: float = BOX, windows: int = 1,
+                construction: str = "auto"):
     def run(steps):
         st, totals = granular_full_kdk_scan(
             st0, cfg, box, n_steps=steps, n_cells=g, max_per_cell=k,
             band_cells=band, packed_caps=packed, max_blocks=max_blocks,
             buckets=buckets, force_impl=force_impl, pm_grid=pm_grid,
+            windows_per_block=windows, construction=construction,
         )
         np.asarray(st.pos)  # materialize = the only reliable sync
         return st, totals
@@ -150,10 +154,22 @@ def _run_one(n, scene, force, argv):
             )
         if len(parts) > 3 and parts[3][0] in ("a", "c", "u"):
             mode = {"a": "auto", "c": "compact", "u": "bucket"}[parts[3][0]]
-            q = float(parts[3][1:]) if len(parts[3]) > 1 else (
+            rest = parts[3][1:]
+            # bucket token may carry a construction override suffix
+            # ("u0.8s" = slice, "u0.8g" = grid-gather; default auto) and
+            # xW = windows_per_block ("u0.8x4")
+            constr = "auto"
+            if mode == "bucket" and rest and rest[-1] in ("s", "g"):
+                constr = {"s": "slice", "g": "grid"}[rest[-1]]
+                rest = rest[:-1]
+            w_blk = 1
+            if mode == "bucket" and "x" in rest:
+                rest, w_s = rest.split("x", 1)
+                w_blk = int(w_s)
+            q = float(rest) if rest else (
                 0.8 if mode == "bucket" else 1.0
             )
-            packed = (mode, q)
+            packed = (mode, q, w_blk, constr)
         elif len(parts) > 3:
             packed = (int(parts[3]), int(parts[4]))
         else:
@@ -177,14 +193,19 @@ def _run_one(n, scene, force, argv):
                     fracture_threshold=8.0)
     for g, k, band, packed, max_blocks in cfgs:
         buckets = None
+        windows = 1
+        constr = "auto"
         try:
             if isinstance(packed, tuple) and packed and packed[0] == "bucket":
                 from nbx.ops.collide import bucketed_layout_for
 
                 buckets = bucketed_layout_for(st0.pos, box, g, band,
                                               split_quantile=packed[1])
+                windows = packed[2] if len(packed) > 2 else 1
+                constr = packed[3] if len(packed) > 3 else "auto"
                 packed = None
-                print(json.dumps(dict(buckets=buckets)), flush=True)
+                print(json.dumps(dict(buckets=buckets, windows=windows,
+                                      construction=constr)), flush=True)
             elif isinstance(packed, tuple) and packed and packed[0] == "auto":
                 from nbx.ops.collide import packed_caps_for
 
@@ -208,7 +229,8 @@ def _run_one(n, scene, force, argv):
         try:
             ms, totals = time_config(st0, cfg, g, k, band, force_impl=force,
                                      packed=packed, max_blocks=max_blocks,
-                                     buckets=buckets, box=box)
+                                     buckets=buckets, box=box,
+                                     windows=windows, construction=constr)
         except Exception as e:  # compile/run failure — report, keep sweeping
             # (measured: whole-grid BANDED tables at g=128 ask for a 554 GB
             # src gather — the bench must survive a config that can't build)
@@ -221,7 +243,8 @@ def _run_one(n, scene, force, argv):
         print(json.dumps(dict(
             n=n, scene=scene, force=force, box=round(box, 2),
             n_cells=g, max_per_cell=k, band_cells=band, packed_caps=packed,
-            max_blocks=max_blocks, buckets=buckets,
+            max_blocks=max_blocks, buckets=buckets, windows=windows,
+            construction=constr,
             ms_per_step=round(ms * 1e3, 2),
             n_overflow=totals["n_overflow"],
             cell_too_small=bool(totals["cell_too_small"]),

@@ -129,7 +129,8 @@ class ScaledEvents(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
-                     "max_blocks", "buckets", "interpret"),
+                     "max_blocks", "buckets", "interpret",
+                     "windows_per_block", "construction"),
 )
 def resolve_collisions_scaled(
     state: GranularState,
@@ -143,6 +144,8 @@ def resolve_collisions_scaled(
     max_blocks: int | None = None,
     buckets: tuple[tuple[int, int, int], ...] | None = None,
     interpret: bool = False,
+    windows_per_block: int = 1,
+    construction: str = "auto",
 ) -> tuple[GranularState, ScaledEvents]:
     """One full collision substep at scale (reference resolveCollisions,
     index.html:293-390, with the divergences documented in the module
@@ -157,6 +160,7 @@ def resolve_collisions_scaled(
             state.pos, state.vel, state.mass, radius, box_size, n_cells,
             cfg.restitution, cfg.friction, max_per_cell, band_cells,
             packed_caps, max_blocks, buckets, interpret,
+            windows_per_block, construction,
         )
     )
     pos = state.pos + dpos
@@ -358,7 +362,7 @@ def resolve_collisions_scaled(
         "n_steps", "n_cells", "max_per_cell", "band_cells", "packed_caps",
         "max_blocks", "buckets", "force_impl", "pm_grid", "interpret",
         "p3m_cells", "p3m_k", "p3m_max_residual", "log_events",
-        "p3m_pp_buckets",
+        "p3m_pp_buckets", "windows_per_block", "construction",
     ),
 )
 def granular_full_kdk_scan(
@@ -381,6 +385,8 @@ def granular_full_kdk_scan(
     log_events: bool = False,
     green_hat: jax.Array | None = None,
     p3m_pp_buckets: tuple[tuple[int, int, int], ...] | None = None,
+    windows_per_block: int = 1,
+    construction: str = "auto",
 ):
     """Full-physics granular loop at scale: KDK gravity + fused-kernel
     collisions (bounce/merge/fracture/timers) + thermal decay, reference
@@ -463,6 +469,7 @@ def granular_full_kdk_scan(
         st, ev = resolve_collisions_scaled(
             st, cfg, h, box_size, n_cells, max_per_cell, band_cells,
             packed_caps, max_blocks, buckets, interpret,
+            windows_per_block, construction,
         )
         # slots reborn by merge/fracture are NEWBORN: acc = 0
         # (index.html:217) — their pre-event acc includes dead partners'

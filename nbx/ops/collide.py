@@ -239,6 +239,23 @@ def _collide_kernel_fused(par_ref, tgt_ref, src_ref, delta_ref, evt_ref):
     _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref, None)
 
 
+def _collide_kernel_fused_multi(
+    par_ref, tgt_ref, src_ref, delta_ref, evt_ref, *, n_w
+):
+    """_collide_kernel_fused over n_w INDEPENDENT windows per grid program
+    (blocks stacked along the row axis: window w owns tgt rows
+    [w t_rows, (w+1) t_rows) and src rows [16 w, 16 (w+1))). Fewer, fatter
+    programs amortize Mosaic's per-program cost — the measured wall at
+    fine collision grids, where the kernel ran at ~half its isolated
+    pair rate from program count alone (docs/RESULTS.md round 4: g=48 at
+    262k has 21% fewer pair lanes than g=40 yet times 10% slower)."""
+    for w in range(n_w):
+        _collide_fused_body(
+            par_ref, tgt_ref, src_ref, delta_ref, evt_ref, None,
+            w=w, n_w=n_w,
+        )
+
+
 def _collide_kernel_fused_grav(
     par_ref, tgt_ref, src_ref, delta_ref, evt_ref, grav_ref
 ):
@@ -259,9 +276,11 @@ def _collide_kernel_fused_grav(
 
 
 def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
-                        grav_ref):
+                        grav_ref, w=0, n_w=1):
     """1D grid, single visit: target strip vs its FULL fused 3x3xk-guard
-    source neighborhood.
+    source neighborhood. With n_w > 1 the refs hold n_w stacked windows
+    and this body processes window w's row slices only (static offsets —
+    see _collide_kernel_fused_multi).
 
     tgt_ref   [T, 16]  target rows: x y z vx vy vz m r gidx 0...
     src_ref   [16, S]  fused neighborhood, lanes = bodies (dead-padded)
@@ -289,7 +308,8 @@ def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
         (docs/RESULTS.md — the [T, S] temporaries otherwise stream
         through VMEM).
     """
-    t = tgt_ref[:]
+    t_rows_w = tgt_ref.shape[0] // n_w
+    t = tgt_ref[w * t_rows_w:(w + 1) * t_rows_w, :]
     xi, yi, zi = t[:, 0:1], t[:, 1:2], t[:, 2:3]
     vxi, vyi, vzi = t[:, 3:4], t[:, 4:5], t[:, 5:6]
     mi, ri, gi = t[:, 6:7], t[:, 7:8], t[:, 8:9]
@@ -309,7 +329,7 @@ def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
     dmax = None
     jsel = None
     for c in range(s_rows // chunk):
-        s = src_ref[:, c * chunk:(c + 1) * chunk]
+        s = src_ref[16 * w:16 * (w + 1), c * chunk:(c + 1) * chunk]
         xj, yj, zj = s[0:1, :], s[1:2, :], s[2:3, :]
         vxj, vyj, vzj = s[3:4, :], s[4:5, :], s[5:6, :]
         mj, rj, gj = s[6:7, :], s[7:8, :], s[8:9, :]
@@ -396,7 +416,8 @@ def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
             dmax = jnp.where(better, dm, dmax)
 
     # target side of the pair impulse: vel_i -= (a2 d - ft rv) / m_i
-    delta_ref[:] = jnp.concatenate(
+    rows_w = slice(w * t_rows_w, (w + 1) * t_rows_w)
+    delta_ref[rows_w, :] = jnp.concatenate(
         [
             -acc[0] * sc_i, -acc[1] * sc_i, -acc[2] * sc_i,
             -acc[3] * sc_i, -acc[4] * sc_i, -acc[5] * sc_i,
@@ -407,7 +428,7 @@ def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
 
     has = dmax > 0.0
     z8 = jnp.zeros_like(dmax)
-    evt_ref[:] = jnp.concatenate(
+    evt_ref[rows_w, :] = jnp.concatenate(
         [
             jnp.where(has, dmax, DEPTH_SENTINEL),
             jnp.where(has, jsel, -1.0),
@@ -416,7 +437,7 @@ def _collide_fused_body(par_ref, tgt_ref, src_ref, delta_ref, evt_ref,
         axis=1,
     )
     if grav_ref is not None:
-        grav_ref[:] = jnp.concatenate(
+        grav_ref[rows_w, :] = jnp.concatenate(
             [
                 g_sc * acc[8], g_sc * acc[9], g_sc * acc[10],
                 z8, z8, z8, z8, z8,
@@ -750,7 +771,8 @@ def packed_caps_for(
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "max_per_cell", "band_cells", "packed_caps",
-                     "max_blocks", "buckets", "interpret"),
+                     "max_blocks", "buckets", "interpret",
+                     "windows_per_block", "construction"),
 )
 def binned_collision_pass(
     pos,  # [N, 3] — binning domain [0, box)^3 (out-of-box clipped to faces)
@@ -767,6 +789,8 @@ def binned_collision_pass(
     max_blocks: int | None = None,
     buckets: tuple[tuple[int, int, int], ...] | None = None,
     interpret: bool = False,
+    windows_per_block: int = 1,
+    construction: str = "auto",
 ):
     """One fused collision sweep over the 27-cell neighborhoods.
 
@@ -811,6 +835,17 @@ def binned_collision_pass(
     in the first bucket whose caps cover it, at that bucket's block
     shape — the bulk of windows stops paying the densest window's cap
     tail. Size with bucketed_layout_for.
+
+    windows_per_block=W (bucketed layout only) packs W windows into each
+    Pallas program (_collide_kernel_fused_multi) to amortize per-program
+    cost; bit-identical pair set, VMEM-clamped per bucket. Measured
+    NEUTRAL at 131k-262k (docs/RESULTS.md round 5) — kept for
+    reproducibility; the default 1 is production.
+
+    construction ("auto" | "grid" | "slice") picks the bucket-0 strips
+    construction (see _packed_bucketed_blocks): "slice" builds strips by
+    contiguous dynamic_slice off a transposed masked operand — measured
+    1.34x at 262k; "auto" switches on the strips-table row count.
     """
     n = pos.shape[0]
     g = n_cells
@@ -835,6 +870,7 @@ def binned_collision_pass(
             )
         out_d, out_e, n_overflow = _packed_bucketed_blocks(
             feats, par, pos, box_size, g, band_cells, buckets, interpret,
+            windows_per_block, construction,
         )
         return _epilogue_finish(
             out_d, out_e, pos, vel, mass, n, n_overflow, cell_too_small
@@ -1316,6 +1352,25 @@ def _packed_compact_blocks(
     return delta, evt, body_slot, n_overflow
 
 
+def _bucket_block_geom(t_cap, s_cap, bmax, windows_per_block):
+    """Static per-bucket block geometry: (t_rows, s_capw, s_rows, w_blk,
+    bmax_pad). w_blk = windows per Pallas program (clamped so one
+    program's blocks stay under ~8 MB of VMEM and never exceed the
+    bucket's window count); bmax_pad rounds the window budget up to a
+    multiple of w_blk (the pad windows are dead-body blocks)."""
+    t_rows = _round_up(max(t_cap, 8), 8)
+    s_capw = max(s_cap, 8)
+    s_rows = _round_up(9 * s_capw, LANE)
+    w_blk = 1
+    if windows_per_block > 1 and bmax > 1:
+        blk_bytes = (t_rows * 16 + 16 * s_rows + 2 * t_rows * 8) * 4
+        w_blk = max(
+            1, min(windows_per_block, bmax, (8 << 20) // max(blk_bytes, 1))
+        )
+    bmax_pad = _round_up(bmax, w_blk)
+    return t_rows, s_capw, s_rows, w_blk, bmax_pad
+
+
 def _packed_bucketed_blocks(
     feats,
     par,
@@ -1325,6 +1380,8 @@ def _packed_bucketed_blocks(
     band_cells: int,
     buckets: tuple[tuple[int, int, int], ...],
     interpret: bool,
+    windows_per_block: int = 1,
+    construction: str = "auto",
 ):
     """OCCUPANCY-BUCKETED packed layout: each occupied window is assigned
     to the FIRST bucket whose (t_cap, s_cap) covers its target count and
@@ -1430,10 +1487,12 @@ def _packed_bucketed_blocks(
     # bucket). Bit-identical: the old merge summed exactly one non-zero
     # contribution (deltas) / picked the one non-sentinel row (events).
     deltas, evts = [], []
-    m_total = sum(
-        bmax * _round_up(max(t_cap, 8), 8)
-        for (t_cap, _, bmax) in buckets
-    )
+    m_total = 0
+    for (t_cap, s_cap, bmax) in buckets:
+        t_r, _, _, _, b_pad = _bucket_block_geom(
+            t_cap, s_cap, bmax, windows_per_block
+        )
+        m_total += b_pad * t_r
     slot_all = jnp.full((n,), m_total, i32)
     slot_base = 0
     n_overflow = jnp.int32(0)
@@ -1441,9 +1500,9 @@ def _packed_bucketed_blocks(
     for bi, ((t_cap, s_cap, bmax), flf, sel, wrank) in enumerate(
         zip(buckets, flags, sels, wranks)
     ):
-        t_rows = _round_up(max(t_cap, 8), 8)
-        s_capw = max(s_cap, 8)
-        s_rows = _round_up(9 * s_capw, LANE)
+        t_rows, s_capw, s_rows, w_blk, bmax_pad = _bucket_block_geom(
+            t_cap, s_cap, bmax, windows_per_block
+        )
         # window-budget drops: only the LAST bucket drops (earlier
         # buckets spill over-budget windows to the next, see assignment)
         if bi == len(buckets) - 1:
@@ -1474,18 +1533,48 @@ def _packed_bucketed_blocks(
         # exactly that shape, docs/RESULTS.md "peaked scenes covered").
         use_grid = bi == 0 and 4 * bmax >= n_cols * n_bands
         if use_grid:
-            # bulk: whole-grid strips table + whole-strip chunk gathers
+            # bulk: whole-grid strips table, built one of two measured
+            # ways (bit-identical; nbx.bench.layoutvar, round 5):
+            #   grid-GATHER ("grid"): per-row gathers with the t_ok mask
+            #     folded into the index — fastest at 131k (37.7 vs 39.6
+            #     ms bucket-0 pass at g=40).
+            #   transposed dynamic-SLICE ("slice"/dsT): each strip is ONE
+            #     contiguous [16, s_capw] slice off a t_ok-masked,
+            #     tail-padded feats.T copy — XLA sees the contiguity the
+            #     computed gather index hides, and the strip transpose
+            #     pass disappears. 1.34x at 262k (56.2 vs 75.6 ms); the
+            #     superlinear construction term was the per-row gather.
+            # "auto" switches on the strips-table row count (the gather's
+            # scaling variable); the 7e5 threshold sits between the two
+            # measured sizes (131k g=40: 5.1e5 rows, 262k: 9.5e5).
             ss_own = starts[cols[:, None] * g + lo[None, :]]
             se_own = starts[cols[:, None] * g + hi[None, :]]
             valid_so = (
                 ar_s[None, None, :]
                 < jnp.minimum(se_own - ss_own, s_capw)[..., None]
             )
-            take_so = jnp.minimum(ss_own[..., None] + ar_s, n)
-            strips = feats_sorted[
-                jnp.where(valid_so & t_ok[take_so], take_so, n)
-            ]  # [n_cols, n_bands, s_capw, 16]
-            stripsT = strips.transpose(0, 1, 3, 2)
+            use_slice = construction == "slice" or (
+                construction == "auto"
+                and n_cols * n_bands * s_capw >= 700_000
+            )
+            if use_slice:
+                dead = feats[n]
+                op = jnp.concatenate(
+                    [jnp.where(t_ok[:n, None], feats_sorted[:n], dead),
+                     jnp.broadcast_to(dead[None], (s_capw + 1, 16))], 0)
+                opT = op.T  # [16, n + s_capw + 1]
+                stripsT = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        opT, (0, s), (16, s_capw))
+                )(ss_own.reshape(-1)).reshape(n_cols, n_bands, 16, s_capw)
+                stripsT = jnp.where(
+                    valid_so[:, :, None, :], stripsT, dead[:, None])
+            else:
+                take_so = jnp.minimum(ss_own[..., None] + ar_s, n)
+                strips = feats_sorted[
+                    jnp.where(valid_so & t_ok[take_so], take_so, n)
+                ]  # [n_cols, n_bands, s_capw, 16]
+                stripsT = strips.transpose(0, 1, 3, 2)
             dead_strip = jnp.broadcast_to(
                 feats[n][:, None], (1, n_bands, 16, s_capw)
             )
@@ -1516,32 +1605,47 @@ def _packed_bucketed_blocks(
         )
         src = jnp.concatenate([src, lane_pad], axis=2).reshape(-1, s_rows)
 
+        if bmax_pad > bmax:
+            # dead-window pad up to a multiple of w_blk (mass 0 ->
+            # every pair in a pad window is masked; its output rows are
+            # unreachable through the slot map below)
+            n_pad = bmax_pad - bmax
+            tgt = jnp.concatenate(
+                [tgt, jnp.broadcast_to(feats[n][None],
+                                       (n_pad * t_rows, 16))], axis=0)
+            src = jnp.concatenate(
+                [src, jnp.broadcast_to(feats[n][None, :, None],
+                                       (n_pad, 16, s_rows)
+                                       ).reshape(-1, s_rows)], axis=0)
+
+        kern = (_collide_kernel_fused if w_blk == 1 else
+                functools.partial(_collide_kernel_fused_multi, n_w=w_blk))
         delta, evt = pl.pallas_call(
-            _collide_kernel_fused,
-            grid=(bmax,),
+            kern,
+            grid=(bmax_pad // w_blk,),
             in_specs=[
                 pl.BlockSpec((1, 2), lambda c: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((t_rows, 16), lambda c: (c, 0),
+                pl.BlockSpec((w_blk * t_rows, 16), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((16, s_rows), lambda c: (c, 0),
+                pl.BlockSpec((w_blk * 16, s_rows), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                pl.BlockSpec((w_blk * t_rows, 8), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_rows, 8), lambda c: (c, 0),
+                pl.BlockSpec((w_blk * t_rows, 8), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
-                jax.ShapeDtypeStruct((bmax * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((bmax_pad * t_rows, 8), f32),
+                jax.ShapeDtypeStruct((bmax_pad * t_rows, 8), f32),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=60 * bmax * t_rows * s_rows,
-                bytes_accessed=(bmax * (t_rows * 16 + s_rows * 16
-                                        + t_rows * 16)) * 4,
-                transcendentals=bmax * t_rows * s_rows,
+                flops=60 * bmax_pad * t_rows * s_rows,
+                bytes_accessed=(bmax_pad * (t_rows * 16 + s_rows * 16
+                                            + t_rows * 16)) * 4,
+                transcendentals=bmax_pad * t_rows * s_rows,
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
@@ -1557,7 +1661,7 @@ def _packed_bucketed_blocks(
             slot_base + wrank[f_own] * t_rows + rank_t,
             slot_all,
         )
-        slot_base += bmax * t_rows
+        slot_base += bmax_pad * t_rows
 
     # ONE body-order gather over the concatenated tables (see above)
     delta_all = jnp.concatenate(deltas + [jnp.zeros((1, 8), f32)], axis=0)

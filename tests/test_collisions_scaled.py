@@ -697,6 +697,61 @@ def test_bucketed_matches_packed():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_bucketed_multi_window_bit_identical():
+    """windows_per_block=W packs W windows per kernel program
+    (_collide_kernel_fused_multi) — a pure grid reorganization: every
+    window's pair blocks, chunk order and reduction order are unchanged,
+    so the outputs must be BIT-identical to W=1 (including when the
+    window budget needs dead-window padding to reach a multiple of W)."""
+    from nbx.ops.collide import bucketed_layout_for
+
+    pos, vel, mass = _clustered_scene()
+    radius = _radius(mass) * 2.0
+    buckets = bucketed_layout_for(pos, BOX, 8, 4, split_quantile=0.6)
+    outs = []
+    for w in (1, 3):
+        outs.append(binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=8, band_cells=4,
+            buckets=buckets, interpret=True, windows_per_block=w,
+        ))
+    (dv0, dp0, dt0, best0, nb0, ovf0, _), (dv1, dp1, dt1, best1, nb1,
+                                           ovf1, _) = outs
+    assert int(nb1) == int(nb0) > 0
+    assert int(ovf1) == int(ovf0)
+    for a, b in ((dv0, dv1), (dp0, dp1), (dt0, dt1),
+                 (best0["j"], best1["j"]), (best0["vn"], best1["vn"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bucketed_slice_construction_bit_identical():
+    """construction="slice" (strips via contiguous dynamic_slice off a
+    t_ok-masked transposed operand — the 262k construction winner,
+    docs/RESULTS.md round 5) must be BIT-identical to the grid-gather
+    construction: same strip contents, only the access pattern differs."""
+    from nbx.ops.collide import bucketed_layout_for
+
+    pos, vel, mass = _clustered_scene()
+    radius = _radius(mass) * 2.0
+    (t1, s1, m1), tail = bucketed_layout_for(pos, BOX, 8, 4,
+                                             split_quantile=0.6)
+    # widen bucket 0's window budget so the whole-grid strips branch
+    # (use_grid: 4 * bmax >= n_cols * n_bands = 128) is the one exercised
+    buckets = ((t1, s1, max(m1, 32)), tail)
+    outs = []
+    for constr in ("grid", "slice"):
+        outs.append(binned_collision_pass(
+            pos, vel, mass, radius, BOX, n_cells=8, band_cells=4,
+            buckets=buckets, interpret=True, construction=constr,
+        ))
+    (dv0, dp0, dt0, best0, nb0, ovf0, _), (dv1, dp1, dt1, best1, nb1,
+                                           ovf1, _) = outs
+    assert int(nb1) == int(nb0) > 0
+    assert int(ovf1) == int(ovf0)
+    for a, b in ((dv0, dv1), (dp0, dp1), (dt0, dt1),
+                 (best0["j"], best1["j"]), (best0["vn"], best1["vn"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bucketed_sparse_bucket0_matches_packed():
     """On a peaked scene whose bucket-0 budget covers only a small
     fraction of the grid windows (4 * bmax < n_windows), bucket 0 takes

@@ -2258,6 +2258,8 @@ def bucketed_collision_blocks_local(
     slab_y: int | None = None,
     short_gravity=None,  # (G, a, eps): fuse the P3M erfc short-range sum
     #   (_collide_kernel_fused_grav); the return gains an out_g element
+    construction: str = "auto",  # bucket-0 strips build (see
+    #   _packed_bucketed_blocks): "grid" | "slice" | size-based "auto"
 ):
     """Occupancy-BUCKETED variant of packed_collision_blocks_local: the
     local slab grid's OWNED windows run in the first bucket whose caps
@@ -2423,16 +2425,39 @@ def bucketed_collision_blocks_local(
         # (here whole-slab) strips table for a bucket serving few windows
         # is a memory explosion on peaked scenes at fine grids
         if bi == 0 and 4 * bmax >= n_cols_loc * n_bands:
-            # strips table over ALL local columns at this bucket's cap
+            # strips table over ALL local columns at this bucket's cap,
+            # built per the same measured construction rule as the
+            # global bucketed layout (_packed_bucketed_blocks: slice =
+            # contiguous dynamic_slice off the t_ok-masked transposed
+            # operand, 1.34x at 262k strips-table sizes; grid-gather
+            # wins below ~7e5 table rows)
             valid_so = (
                 ar_s[None, None, :]
                 < jnp.minimum(runs_all, s_capw)[..., None]
             )
-            take_so = jnp.minimum(ss_tab[..., None] + ar_s, n)
-            strips = feats_sorted[
-                jnp.where(valid_so & t_ok[take_so], take_so, n)
-            ]  # [n_cols_loc, n_bands, s_capw, 16]
-            stripsT = strips.transpose(0, 1, 3, 2)
+            use_slice = construction == "slice" or (
+                construction == "auto"
+                and n_cols_loc * n_bands * s_capw >= 700_000
+            )
+            if use_slice:
+                dead = feats[n]
+                op = jnp.concatenate(
+                    [jnp.where(t_ok[:n, None], feats_sorted[:n], dead),
+                     jnp.broadcast_to(dead[None], (s_capw + 1, 16))], 0)
+                opT = op.T
+                stripsT = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        opT, (0, s), (16, s_capw))
+                )(ss_tab.reshape(-1)).reshape(
+                    n_cols_loc, n_bands, 16, s_capw)
+                stripsT = jnp.where(
+                    valid_so[:, :, None, :], stripsT, dead[:, None])
+            else:
+                take_so = jnp.minimum(ss_tab[..., None] + ar_s, n)
+                strips = feats_sorted[
+                    jnp.where(valid_so & t_ok[take_so], take_so, n)
+                ]  # [n_cols_loc, n_bands, s_capw, 16]
+                stripsT = strips.transpose(0, 1, 3, 2)
             dead_strip = jnp.broadcast_to(
                 feats[n][:, None], (1, n_bands, 16, s_capw)
             )

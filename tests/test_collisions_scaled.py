@@ -752,6 +752,35 @@ def test_bucketed_slice_construction_bit_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_bucketed_local_slice_construction_bit_identical():
+    """The spatial-slab bucketed builder's slice construction must also be
+    bit-identical to its grid gather (same rule as the global layout,
+    applied over the local slab grid)."""
+    from nbx.ops.collide import (
+        bucketed_collision_blocks_local, bucketed_layout_for,
+    )
+
+    pos, vel, mass = _clustered_scene()
+    radius = _radius(mass) * 2.0
+    (t1, s1, m1), tail = bucketed_layout_for(pos, BOX, 8, 4,
+                                             split_quantile=0.6)
+    # D=1 slab covering the whole grid (x0 = -1 ghost layer, w_x = g);
+    # bucket-0 budget widened so the whole-slab strips branch
+    # (4 * bmax >= n_cols_loc * n_bands = 10*8*2 = 160) is exercised
+    buckets = ((t1, s1, max(m1, 40)), tail)
+    outs = []
+    for constr in ("grid", "slice"):
+        outs.append(bucketed_collision_blocks_local(
+            pos, vel, mass, radius, BOX, 8, 4, buckets,
+            0.2, 0.5, -1, 8, True, construction=constr,
+        ))
+    (d0, e0, o0), (d1, e1, o1) = outs
+    assert int(o1) == int(o0)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    assert float(np.abs(np.asarray(d0)).sum()) > 0.0
+
+
 def test_bucketed_sparse_bucket0_matches_packed():
     """On a peaked scene whose bucket-0 budget covers only a small
     fraction of the grid windows (4 * bmax < n_windows), bucket 0 takes

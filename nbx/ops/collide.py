@@ -1545,8 +1545,9 @@ def _packed_bucketed_blocks(
             #     pass disappears. 1.34x at 262k (56.2 vs 75.6 ms); the
             #     superlinear construction term was the per-row gather.
             # "auto" switches on the strips-table row count (the gather's
-            # scaling variable); the 7e5 threshold sits between the two
-            # measured sizes (131k g=40: 5.1e5 rows, 262k: 9.5e5).
+            # scaling variable); the 6e5 threshold sits between 131k
+            # g=40 B=8 (5.1e5 rows, grid best by ~5%) and 131k B=12
+            # (6.7e5, slice best by ~10%) / 262k (9.5e5, slice 1.15x).
             ss_own = starts[cols[:, None] * g + lo[None, :]]
             se_own = starts[cols[:, None] * g + hi[None, :]]
             valid_so = (
@@ -1555,7 +1556,7 @@ def _packed_bucketed_blocks(
             )
             use_slice = construction == "slice" or (
                 construction == "auto"
-                and n_cols * n_bands * s_capw >= 700_000
+                and n_cols * n_bands * s_capw >= 600_000
             )
             if use_slice:
                 dead = feats[n]
@@ -2430,14 +2431,14 @@ def bucketed_collision_blocks_local(
             # global bucketed layout (_packed_bucketed_blocks: slice =
             # contiguous dynamic_slice off the t_ok-masked transposed
             # operand, 1.34x at 262k strips-table sizes; grid-gather
-            # wins below ~7e5 table rows)
+            # wins below ~6e5 table rows)
             valid_so = (
                 ar_s[None, None, :]
                 < jnp.minimum(runs_all, s_capw)[..., None]
             )
             use_slice = construction == "slice" or (
                 construction == "auto"
-                and n_cols_loc * n_bands * s_capw >= 700_000
+                and n_cols_loc * n_bands * s_capw >= 600_000
             )
             if use_slice:
                 dead = feats[n]

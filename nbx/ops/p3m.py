@@ -261,7 +261,7 @@ def _short_force_mag(s, a, G):
 )
 def short_range_acc(
     pos, mass, G, a, box_size: float, n_cells: int,
-    max_per_cell: int = 16, eps=0.0, chunk: int = 512,
+    max_per_cell: int = 16, eps=0.0, chunk: int | None = None,
     table=None, n_overflow=None,
 ):
     """Pairwise short-range correction within the 27-cell neighborhood.
@@ -270,9 +270,19 @@ def short_range_acc(
     to capture every interacting pair. Returns ([N, 3] acc, n_overflow).
     Pass `table`/`n_overflow` to reuse a precomputed cell_bin
     (p3m_acceleration does, to avoid a second argsort over N).
+
+    chunk (cells per lax.map step) defaults to a K-adaptive size keeping
+    the per-step pair block ~2^28 lanes: the XLA-CPU backend materializes
+    the [chunk, K, K, 3] blocks of all 27 offsets at once (no loop-fusion
+    across the offset unroll), and the old fixed chunk=512 at an
+    accurate-tune K=768 asked for ONE 130 GB buffer — an instant OOM kill
+    on a 128 GB host (round-5 suite). TPU fuses either way; the map just
+    gets a longer trip count.
     """
     n = pos.shape[0]
     g = n_cells
+    if chunk is None:
+        chunk = max(8, min(512, (1 << 28) // max(27 * max_per_cell ** 2, 1)))
     if table is None:
         table, _, n_overflow = cell_bin(pos, box_size, g, max_per_cell)
     c_total = g * g * g

@@ -223,7 +223,11 @@ class BigLiveSim(LiveSim):
                  scenario: str = "cloud", width: int = 640,
                  height: int = 360, fps: float = 30.0,
                  force_impl: str = "pm", pm_grid: int = 64,
-                 n_cells: int = 32, band_cells: int = 8,
+                 n_cells: int = 40, band_cells: int = 12,
+                 # g=40, B=12 + the auto slice construction measured
+                 # fastest at the default N=131k (39.7 ms full event
+                 # step vs 44.9 at round 4's g=32, B=8 —
+                 # docs/RESULTS.md round 5)
                  steps_per_frame: int = 1, n_trails: int = 256,
                  interpret: bool | None = None):
         import jax

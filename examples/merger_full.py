@@ -72,6 +72,8 @@ def main(n: int = 1_048_576, n_frames: int = 180,
         jnp.asarray(sc["mass"]), jnp.asarray(sc["mat"]), cfg.materials))))
     g_c = min(64, int(box / (2.2 * r_max)))
     g_c = max(8, g_c - g_c % 2)
+    # B=8 is the measured 1M band: taller bands are rejected by the
+    # bucketed tail-cap sizing at this occupancy (docs/RESULTS.md round 5)
     band = 8 if g_c >= 16 else 2
     buckets = bucketed_layout_for(sc["pos"], box, g_c, band)
     print(f"[merger_full] collisions: g={g_c} band={band} buckets={buckets}",

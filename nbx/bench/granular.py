@@ -20,7 +20,9 @@ merge/fracture/timers + thermal) per step at scale, for a sweep of
     #        instead of tail-sized caps — the N-scaling tax trade);
     #        g,K,B,a0.999 = whole-grid packed with a cap quantile;
     #        g,K,B,u0.8x4 = bucketed with windows_per_block=4 (multi-
-    #        window kernel programs);
+    #        window kernel programs); a trailing s/g on the bucket token
+    #        ("u0.8s") forces the slice/grid strips construction
+    #        (default: the size-based auto rule — nbx.ops.collide);
     #        g,K,B,Tc,Sc,M = explicit compacted (M = max_blocks)
 
 Methodology (CLAUDE.md): differential warmed-scan timing — warm the EXACT

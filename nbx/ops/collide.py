@@ -244,11 +244,13 @@ def _collide_kernel_fused_multi(
 ):
     """_collide_kernel_fused over n_w INDEPENDENT windows per grid program
     (blocks stacked along the row axis: window w owns tgt rows
-    [w t_rows, (w+1) t_rows) and src rows [16 w, 16 (w+1))). Fewer, fatter
-    programs amortize Mosaic's per-program cost — the measured wall at
-    fine collision grids, where the kernel ran at ~half its isolated
-    pair rate from program count alone (docs/RESULTS.md round 4: g=48 at
-    262k has 21% fewer pair lanes than g=40 yet times 10% slower)."""
+    [w t_rows, (w+1) t_rows) and src rows [16 w, 16 (w+1))). Fewer,
+    fatter programs amortize Mosaic's per-program cost. Built to test
+    round 4's program-count hypothesis for the fine-grid tax — and it
+    REFUTED it: W=8 cuts programs 8x and moves nothing at 131k-262k
+    (docs/RESULTS.md round 5), so windows_per_block defaults to 1; the
+    kernel is kept for reproducibility and for shapes where per-program
+    cost may yet dominate (very small t_rows x s_rows blocks)."""
     for w in range(n_w):
         _collide_fused_body(
             par_ref, tgt_ref, src_ref, delta_ref, evt_ref, None,
